@@ -1,0 +1,196 @@
+"""The three conditional discriminators + logit head, TPU-native (NHWC).
+
+Reference equivalents:
+  * ImageDiscriminator  <- STAGE1_D_IMG   (reference `model.py:487-527`)
+  * SegDiscriminator    <- STAGE1_D_SEG   (reference `model.py:529-569`)
+  * StoryDiscriminator  <- STAGE1_D_STY_V2 (reference `model.py:571-618`)
+  * DGetLogits          <- D_GET_LOGITS   (reference `model.py:68-97`)
+
+Differences by design:
+  * NHWC layout; videos are (B, T, H, W, C).
+  * heads return LOGITS (no sigmoid); losses use sigmoid-BCE-with-logits,
+    numerically identical to the reference's Sigmoid+BCELoss but stable.
+  * spectral norm is the explicit-state `SNConv` (one power iteration per
+    training forward, state in the "spectral" collection).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cpcsv_tpu.ops.blocks import Conv4x4s2, make_batchnorm, normal_kernel_init
+from cpcsv_tpu.ops.spectral_norm import SNConv
+from cpcsv_tpu.models.video_encoder import VideoEncoder
+
+
+class _Encoder64(nn.Module):
+    """64x64xC -> 4x4x(ndf*8) conv stack: 4x (conv4x4 s2) with LeakyReLU(0.2);
+    spectral norm on layers 2-4 (and optionally layer 1, story D)."""
+
+    ndf: int
+    sn_first: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        ndf = self.ndf
+        if self.sn_first:
+            x = SNConv(ndf, (4, 4), 2, ((1, 1), (1, 1)), dtype=self.dtype, name="c0")(
+                x, sn_update=train
+            )
+        else:
+            x = Conv4x4s2(ndf, dtype=self.dtype, name="c0")(x)
+        x = nn.leaky_relu(x, 0.2)
+        for i, mult in enumerate((2, 4, 8)):
+            x = SNConv(
+                ndf * mult, (4, 4), 2, ((1, 1), (1, 1)), dtype=self.dtype, name=f"c{i+1}"
+            )(x, sn_update=train)
+            x = make_batchnorm(dtype=self.dtype, name=f"bn{i+1}")(
+                x, use_running_average=not train
+            )
+            x = nn.leaky_relu(x, 0.2)
+        return x  # (N, 4, 4, ndf*8)
+
+
+class DGetLogits(nn.Module):
+    """Conditional logit head (reference D_GET_LOGITS). Returns logits (N,)."""
+
+    ndf: int
+    nef: int
+    bcondition: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(
+        self, h_code: jnp.ndarray, c_code: Optional[jnp.ndarray] = None, train: bool = True
+    ) -> jnp.ndarray:
+        if self.bcondition and c_code is not None:
+            c = jnp.broadcast_to(
+                c_code[:, None, None, :], (c_code.shape[0], 4, 4, c_code.shape[-1])
+            ).astype(h_code.dtype)
+            h = jnp.concatenate([h_code, c], axis=-1)
+            h = SNConv(self.ndf * 8, (3, 3), 1, "SAME", dtype=self.dtype, name="conv")(
+                h, sn_update=train
+            )
+            h = make_batchnorm(dtype=self.dtype, name="bn")(
+                h, use_running_average=not train
+            )
+            h = nn.leaky_relu(h, 0.2)
+        else:
+            h = h_code
+        out = SNConv(
+            1, (4, 4), 4, "VALID", use_bias=True, dtype=self.dtype, name="out"
+        )(h, sn_update=train)
+        return out.reshape(-1)
+
+
+class _CateClassify(nn.Module):
+    """Multi-label character head: conv(ndf*8 -> label_num, k4 s4 p1)
+    (reference `model.py:520`). (N,4,4,ndf*8) -> logits (N, label_num)."""
+
+    label_num: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray) -> jnp.ndarray:
+        out = nn.Conv(
+            self.label_num,
+            (4, 4),
+            strides=(4, 4),
+            padding=((1, 1), (1, 1)),
+            use_bias=False,
+            kernel_init=normal_kernel_init,
+            dtype=self.dtype,
+            name="conv",
+        )(h)
+        return out.reshape(-1, self.label_num)
+
+
+class ImageDiscriminator(nn.Module):
+    """STAGE1_D_IMG: 3-channel frames + conditional head + character head."""
+
+    ndf: int = 124
+    nef: int = 124  # CONDITION_DIM
+    text_dim: int = 356
+    label_num: int = 9
+    use_categories: bool = True
+    in_channels: int = 3
+    dtype: Any = None
+
+    def setup(self):
+        self.encode_img = _Encoder64(self.ndf, sn_first=False, dtype=self.dtype)
+        self.get_cond_logits = DGetLogits(
+            self.ndf, self.nef + self.text_dim + self.label_num, dtype=self.dtype
+        )
+        if self.use_categories:
+            self.cate_classify = _CateClassify(self.label_num, dtype=self.dtype)
+
+    def __call__(self, image: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        return self.encode_img(image, train=train)
+
+    def cond_logits(self, features, conditions, train: bool = True):
+        return self.get_cond_logits(features, conditions, train=train)
+
+    def cate_logits(self, features):
+        return self.cate_classify(features)
+
+    def full_forward(self, image, conditions, train: bool = True):
+        """Touches every head — use for param init."""
+        feat = self.encode_img(image, train=train)
+        logits = self.get_cond_logits(feat, conditions, train=train)
+        cate = self.cate_classify(feat) if self.use_categories else None
+        return feat, logits, cate
+
+
+class SegDiscriminator(ImageDiscriminator):
+    """STAGE1_D_SEG: identical, 1-channel input masks."""
+
+    in_channels: int = 1
+
+
+class StoryDiscriminator(nn.Module):
+    """STAGE1_D_STY_V2: per-frame conv stack (all 4 layers spectral-normed),
+    then MEAN over the frame axis; optional order-consistency VideoEncoder."""
+
+    ndf: int = 124
+    nef: int = 124
+    text_dim: int = 356
+    label_num: int = 9
+    use_seq_consistency: bool = False
+    dtype: Any = None
+
+    def setup(self):
+        self.encode_img = _Encoder64(self.ndf, sn_first=True, dtype=self.dtype)
+        self.get_cond_logits = DGetLogits(
+            self.ndf, self.nef + self.text_dim + self.label_num, dtype=self.dtype
+        )
+        if self.use_seq_consistency:
+            self.seq_consisten_model = VideoEncoder(dtype=self.dtype)
+
+    def __call__(self, story: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        """story: (B, T, H, W, C) -> (B, 4, 4, ndf*8) frame-mean features."""
+        B, T = story.shape[0], story.shape[1]
+        frames = story.reshape(-1, *story.shape[2:])
+        emb = self.encode_img(frames, train=train)
+        emb = emb.reshape(B, T, *emb.shape[1:])
+        return emb.mean(axis=1)
+
+    def cond_logits(self, features, conditions, train: bool = True):
+        return self.get_cond_logits(features, conditions, train=train)
+
+    def consistency_logits(self, story: jnp.ndarray, train: bool = True):
+        return self.seq_consisten_model(story, train=train)
+
+    def full_forward(self, story, conditions, train: bool = True):
+        """Touches every head — use for param init."""
+        feat = self(story, train=train)
+        logits = self.get_cond_logits(feat, conditions, train=train)
+        cons = (
+            self.seq_consisten_model(story, train=train)
+            if self.use_seq_consistency
+            else None
+        )
+        return feat, logits, cons

@@ -1,0 +1,150 @@
+"""Building-block layers, NHWC (TPU-native layout).
+
+Reference equivalents: `conv3x3` / `upBlock` (reference `model.py:16-34`),
+`downBlock` (reference `cascade_model.py:36-41`) and the discriminator's
+4x4-stride-2 conv (reference `model.py:498-513`). BatchNorm matches torch
+defaults (eps=1e-5, running-stat momentum 0.1) and weight init matches
+`weights_init` (reference `miscc/utils.py:191-201`): conv/linear ~ N(0,0.02),
+BN scale ~ N(1,0.02), biases 0.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+normal_kernel_init = nn.initializers.normal(stddev=0.02)
+
+
+def bn_scale_init(rng, shape, dtype=jnp.float32):
+    return 1.0 + 0.02 * jax.random.normal(rng, shape, dtype)
+
+
+def make_batchnorm(dtype=None, name: str | None = None) -> nn.BatchNorm:
+    return nn.BatchNorm(
+        use_running_average=None,  # caller passes use_running_average
+        momentum=0.9,  # flax: new = m*old + (1-m)*batch  == torch momentum 0.1
+        epsilon=1e-5,
+        dtype=dtype,
+        scale_init=bn_scale_init,
+        name=name,
+    )
+
+
+class Conv3x3(nn.Module):
+    """3x3 conv, stride 1, SAME padding, no bias (reference conv3x3)."""
+
+    features: int
+    stride: int = 1
+    use_bias: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            self.features,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            use_bias=self.use_bias,
+            kernel_init=normal_kernel_init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class Conv4x4s2(nn.Module):
+    """4x4 conv, stride 2, pad 1 (torch Conv2d(k=4,s=2,p=1)) — halves H,W."""
+
+    features: int
+    use_bias: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            self.features,
+            (4, 4),
+            strides=(2, 2),
+            padding=((1, 1), (1, 1)),
+            use_bias=self.use_bias,
+            kernel_init=normal_kernel_init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor 2x spatial upsample for NHWC.
+
+    Implemented as reshape+broadcast (pure data movement XLA fuses into the
+    following conv) rather than a gather-based resize.
+    """
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+class UpBlock(nn.Module):
+    """nearest-2x upsample -> conv3x3 -> BN -> ReLU (reference upBlock)."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        x = nearest_upsample_2x(x)
+        x = Conv3x3(self.features, dtype=self.dtype, name="conv")(x)
+        x = make_batchnorm(dtype=self.dtype, name="bn")(x, use_running_average=not train)
+        return nn.relu(x)
+
+
+class DownBlock(nn.Module):
+    """conv3x3 stride-2 (with bias) -> BN -> ReLU (reference downBlock,
+    cascade_model.py:36-41)."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features,
+            (3, 3),
+            strides=(2, 2),
+            padding=((1, 1), (1, 1)),
+            use_bias=True,
+            kernel_init=normal_kernel_init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = make_batchnorm(dtype=self.dtype, name="bn")(x, use_running_average=not train)
+        return nn.relu(x)
+
+
+class DenseBN(nn.Module):
+    """Linear -> BatchNorm1d [-> activation] used all over the generator
+    (filter_net / image_net / fc / m_net / c_net, reference model.py:250-308)."""
+
+    features: int
+    activation: Callable[[jnp.ndarray], jnp.ndarray] | None = None
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        x = nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            kernel_init=normal_kernel_init,
+            dtype=self.dtype,
+            name="dense",
+        )(x)
+        x = make_batchnorm(dtype=self.dtype, name="bn")(x, use_running_average=not train)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x

@@ -1,0 +1,38 @@
+"""Batched dynamic-filter 1-D convolution ("Text2Gist" fusion op).
+
+The reference computes, per sample i:
+    out[i] = conv1d(image[i] (3,124), filters[i] (1,3,21), pad=10)
+in a **Python loop over the batch** (reference `layers.py:62-80`,
+60-90 serialized tiny convs per step — its hottest serialization bug).
+
+Here it is one dense contraction: unfold the (padded) length axis into 21
+taps and contract channels+taps against the per-sample filter bank with a
+single einsum, which XLA maps onto the MXU as a batched matmul. A Pallas
+fusion exists in `cpcsv_tpu.ops.pallas.dfn` for the TPU backend.
+
+Semantics (cross-correlation, like torch F.conv1d):
+    out[b, o, x] = sum_{c,k} pad(image)[b, c, x + k] * filters[b, o, c, k]
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def dynamic_filter_conv1d(
+    image: jnp.ndarray, filters: jnp.ndarray, pad: int
+) -> jnp.ndarray:
+    """image: (B, C, L); filters: (B, O, C, K); returns (B, O, L_out).
+
+    L_out = L + 2*pad - K + 1 (with the reference's K=21, pad=10: L_out = L).
+    """
+    B, C, L = image.shape
+    _, O, Cf, K = filters.shape
+    assert Cf == C, (Cf, C)
+    padded = jnp.pad(image, ((0, 0), (0, 0), (pad, pad)))
+    L_out = L + 2 * pad - K + 1
+    # unfold: taps[b, c, x, k] = padded[b, c, x + k]  (K static slices, no gather)
+    taps = jnp.stack([padded[:, :, k : k + L_out] for k in range(K)], axis=-1)
+    return jnp.einsum(
+        "bcxk,bock->box", taps, filters, preferred_element_type=image.dtype
+    )
