@@ -1,0 +1,8 @@
+from cpcsv_tpu.data.loader import DataLoader
+from cpcsv_tpu.data.synthetic import SyntheticStoryDataset, SyntheticImageDataset
+
+__all__ = [
+    "DataLoader",
+    "SyntheticStoryDataset",
+    "SyntheticImageDataset",
+]

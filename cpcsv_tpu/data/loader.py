@@ -1,0 +1,104 @@
+"""Minimal host-side DataLoader: shuffling, batching, drop_last, and a
+background prefetch thread — replaces torch.utils.data.DataLoader (reference
+main_pororo.py:106-121) without a torch dependency.
+
+Items are dicts of numpy arrays (plus optional non-array fields like 'text',
+which are collated into lists)."""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Iterator, Mapping, Sequence
+
+import numpy as np
+
+
+def default_collate(items: Sequence[Mapping[str, Any]]) -> dict:
+    batch: dict[str, Any] = {}
+    for key in items[0]:
+        vals = [it[key] for it in items]
+        if isinstance(vals[0], np.ndarray):
+            batch[key] = np.stack(vals, axis=0)
+        elif isinstance(vals[0], (int, float, np.integer, np.floating)):
+            batch[key] = np.asarray(vals)
+        else:
+            batch[key] = vals  # e.g. raw text strings
+    return batch
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        prefetch: int = 2,
+        collate_fn=default_collate,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.collate_fn = collate_fn
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        nb = len(self)
+        for b in range(nb):
+            yield idx[b * self.batch_size : (b + 1) * self.batch_size]
+
+    def __iter__(self) -> Iterator[dict]:
+        self._epoch += 1
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for batch_idx in self._index_batches():
+                    items = [self.dataset[int(i)] for i in batch_idx]
+                    q.put(self.collate_fn(items))
+            except Exception as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+
+class WrapAroundIterator:
+    """Endless iterator over a loader (reference sample_real_image_batch,
+    trainer.py:143-158: the image loader is drained in lockstep with the
+    story loader and restarted when exhausted)."""
+
+    def __init__(self, loader: DataLoader):
+        self.loader = loader
+        self._it = iter(loader)
+
+    def __next__(self) -> dict:
+        try:
+            return next(self._it)
+        except StopIteration:
+            self._it = iter(self.loader)
+            return next(self._it)

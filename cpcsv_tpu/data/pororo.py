@@ -1,0 +1,265 @@
+"""Pororo-SV dataset pipeline — same on-disk artifact protocol as the
+reference (`datasets/pororo.py`):
+
+  DATA_DIR/
+    <episode dirs>/<frame>.png      vertical strips of square frames
+    labels.npy                      dict id -> 9-dim character one-hot
+    frames_counter.npy              dict "/<episode>/" -> frame count
+    img_cache4.npy following_cache4.npy   clip index caches
+    train_test_ids.npy              (train_ids, test_ids)
+    descriptions_vec.npy (128-d), descriptions_attr.npy (228-d),
+    subtitles_vec.npy, descriptions.npy (raw text)
+    img_segment/ (or img_segment_refine/) figure-ground masks
+
+Output schema matches the reference loaders; images are NHWC float32 in
+[-1,1], videos (T,H,W,C).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from os.path import exists, join
+
+import numpy as np
+
+from cpcsv_tpu.data.transforms import normalize_image, video_transform
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+def _load_npy_dict(path):
+    return np.load(path, allow_pickle=True, encoding="latin1").item()
+
+
+def _decode(v) -> str:
+    if isinstance(v, bytes):
+        return v.decode("utf-8")
+    v = str(v)
+    if v.startswith("b'") or v.startswith('b"'):
+        return v[2:-1]
+    return v
+
+
+class VideoFolderDataset:
+    """Clip index (reference `datasets/pororo.py:12-68`): keep frame ids with
+    >= min_len successors in the episode; cache; split train/test."""
+
+    def __init__(self, folder, counter=None, cache=None, min_len=4, data_type="train"):
+        assert data_type in ("train", "test", "valid")
+        self.dir_path = folder
+        self.labels = _load_npy_dict(join(folder, "labels.npy"))
+
+        img_cache = join(cache or folder, f"img_cache{min_len}.npy")
+        follow_cache = join(cache or folder, f"following_cache{min_len}.npy")
+        if exists(img_cache) and exists(follow_cache):
+            self.images = np.load(img_cache, allow_pickle=True, encoding="latin1")
+            self.followings = np.load(follow_cache, allow_pickle=True, encoding="latin1")
+        else:
+            self.images, self.followings = self._build_index(folder, counter, min_len)
+            np.save(img_cache, np.array(self.images, dtype=object))
+            np.save(follow_cache, np.array(self.followings, dtype=object))
+            self.images = np.array(self.images, dtype=object)
+            self.followings = np.array(self.followings, dtype=object)
+
+        train_id, test_id = np.load(
+            join(folder, "train_test_ids.npy"), allow_pickle=True, encoding="latin1"
+        )
+        orders = np.array(train_id if data_type == "train" else test_id).astype("int32")
+        self.images = self.images[orders]
+        self.followings = self.followings[orders]
+
+    @staticmethod
+    def _build_index(folder, counter, min_len):
+        images, followings = [], []
+        # deterministic class-dir walk (replaces torchvision ImageFolder scan)
+        entries = []
+        for d in sorted(os.listdir(folder)):
+            full = join(folder, d)
+            if not os.path.isdir(full):
+                continue
+            for f in sorted(os.listdir(full)):
+                if f.endswith(".png"):
+                    entries.append(join(full, f))
+        for img_path in entries:
+            v_name = img_path.replace(folder, "")
+            frame_id = int(os.path.basename(v_name).replace(".png", ""))
+            episode = re.sub(r"[0-9]+.png", "", v_name)
+            if counter is None or frame_id > counter.get(episode, 0) - min_len:
+                continue
+            followings.append([episode + str(frame_id + i + 1) + ".png" for i in range(min_len)])
+            images.append(v_name)
+        return images, followings
+
+    def sample_image(self, im, rng=None):
+        """Crop one random square frame from a vertical strip
+        (reference `datasets/pororo.py:54-58`)."""
+        rng = rng or np.random.default_rng()
+        shorter, longer = min(im.size), max(im.size)
+        n = longer // shorter
+        se = int(rng.integers(0, n))
+        return im.crop((0, se * shorter, shorter, (se + 1) * shorter))
+
+    def __getitem__(self, item):
+        return [self.images[item]] + [str(f) for f in self.followings[item]]
+
+    def __len__(self):
+        return len(self.images)
+
+
+class _TextArtifacts:
+    def __init__(self, textvec):
+        self.descriptions = _load_npy_dict(join(textvec, "descriptions_vec.npy"))
+        self.attributes = _load_npy_dict(join(textvec, "descriptions_attr.npy"))
+        self.subtitles = _load_npy_dict(join(textvec, "subtitles_vec.npy"))
+        self.descriptions_original = _load_npy_dict(join(textvec, "descriptions.npy"))
+
+    def pick(self, rng, frame_id):
+        """Random description index when several exist (reference :122-127)."""
+        n = len(self.descriptions_original[frame_id])
+        return int(rng.integers(0, n)) if n > 1 else 0
+
+
+class StoryDataset:
+    """5-frame story samples (reference `datasets/pororo.py:70-154`)."""
+
+    def __init__(self, dataset: VideoFolderDataset, textvec: str, imsize: int = 64, seed: int = 0):
+        self.dataset = dataset
+        self.dir_path = dataset.dir_path
+        self.text = _TextArtifacts(textvec)
+        self.labels = dataset.labels
+        self.imsize = imsize
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, item):
+        rng = np.random.default_rng()
+        lists = self.dataset[item]
+        frames, des, subs, labels, attri, raw = [], [], [], [], [], []
+        for v in lists:
+            v = _decode(v)
+            frame_id = v.replace(".png", "")
+            im = Image.open(self.dir_path + frame_id + ".png").convert("RGB")
+            frames.append(np.array(self.dataset.sample_image(im, rng)))
+            se = self.text.pick(rng, frame_id)
+            raw.append(self.text.descriptions_original[frame_id][se])
+            des.append(self.text.descriptions[frame_id][se])
+            subs.append(self.text.subtitles[frame_id][0])
+            labels.append(self.labels[frame_id])
+            attri.append(self.text.attributes[frame_id][se].astype("float32"))
+        video = video_transform(np.stack(frames), self.imsize)  # (T,H,W,C)
+        des = np.concatenate(
+            [np.stack(des), np.stack(attri)], axis=1
+        ).astype(np.float32)  # (T, 128+228=356)
+        return {
+            "images": video,
+            "text": raw,
+            "description": des,
+            "subtitle": np.stack(subs).astype(np.float32),
+            "labels": np.stack(labels).astype(np.float32),
+        }
+
+
+class ImageDataset:
+    """Single-frame samples + per-story content matrix + optional seg mask
+    (reference `datasets/pororo.py:157-248`)."""
+
+    def __init__(
+        self,
+        dataset: VideoFolderDataset,
+        textvec: str,
+        imsize: int = 64,
+        sesize: int = 64,
+        use_segment: bool = False,
+        segment_name: str = "img_segment",
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.dir_path = dataset.dir_path
+        self.text = _TextArtifacts(textvec)
+        self.labels = dataset.labels
+        self.imsize = imsize
+        self.sesize = sesize
+        self.use_segment = use_segment
+        self.segment_name = segment_name
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, item):
+        rng = np.random.default_rng()
+        lists = self.dataset[item]
+        sub_path = _decode(lists[0])
+        frame_id = sub_path.replace(".png", "")
+
+        out = {}
+        if self.use_segment:
+            seg_path = "{}/{}/{}".format(
+                self.dir_path, self.segment_name, "_".join(sub_path.split("/")[-2:])
+            )
+            seg = Image.open(seg_path).convert("L")
+            out["images_seg"] = normalize_image(
+                np.array(self.dataset.sample_image(seg, rng)), self.sesize
+            )
+
+        im = Image.open(self.dir_path + sub_path).convert("RGB")
+        out["images"] = normalize_image(
+            np.array(self.dataset.sample_image(im, rng)), self.imsize
+        )
+
+        se = self.text.pick(rng, frame_id)
+        des = self.text.descriptions[frame_id][se]
+        attri = self.text.attributes[frame_id][se].astype("float32")
+        out["description"] = np.concatenate([des, attri]).astype(np.float32)
+        out["subtitle"] = np.asarray(self.text.subtitles[frame_id][0], np.float32)
+        out["labels"] = self.labels[frame_id].astype(np.float32)
+        out["text"] = self.text.descriptions_original[frame_id][se]
+
+        content, attri_c, label_c = [], [], []
+        for v in lists:
+            vid = _decode(v).replace(".png", "")
+            n = len(self.text.descriptions[vid])
+            se = int(rng.integers(0, n)) if n > 1 else 0
+            content.append(self.text.descriptions[vid][se])
+            attri_c.append(self.text.attributes[vid][se].astype("float32"))
+            label_c.append(self.labels[vid].astype("float32"))
+        out["content"] = np.concatenate(
+            [np.stack(content), np.stack(attri_c), np.stack(label_c)], axis=1
+        ).astype(np.float32)  # (T, 128+228+9=365)
+        return out
+
+
+def build_pororo_loaders(cfg, seed: int = 0):
+    """Reference main_pororo.py:97-121: train story/image loaders + test loader."""
+    from cpcsv_tpu.data.loader import DataLoader
+
+    dir_path = cfg.DATA_DIR
+    counter = _load_npy_dict(join(dir_path, "frames_counter.npy"))
+    base = VideoFolderDataset(dir_path, counter, cache=dir_path, min_len=4, data_type="train")
+    story = StoryDataset(base, dir_path, cfg.IMSIZE)
+    image = ImageDataset(
+        base,
+        dir_path,
+        cfg.IMSIZE,
+        cfg.SESIZE,
+        use_segment=cfg.SEGMENT_LEARNING,
+        segment_name=cfg.TRAIN.SEGMENT_NAME,
+    )
+    base_test = VideoFolderDataset(dir_path, counter, cache=dir_path, min_len=4, data_type="test")
+    test_story = StoryDataset(base_test, dir_path, cfg.IMSIZE)
+
+    imageloader = DataLoader(
+        image, cfg.TRAIN.IM_BATCH_SIZE, shuffle=True, drop_last=True, seed=seed
+    )
+    storyloader = DataLoader(
+        story, cfg.TRAIN.ST_BATCH_SIZE, shuffle=True, drop_last=True, seed=seed + 1
+    )
+    testloader = DataLoader(
+        test_story, cfg.TRAIN.ST_BATCH_SIZE, shuffle=False, drop_last=True, seed=seed + 2
+    )
+    return imageloader, storyloader, testloader

@@ -1,0 +1,135 @@
+"""Evaluation-side datasets.
+
+Folder readers (reference `miscc/datasets.py:19-55`) read dumped story
+folders back for metric computation; generator wrappers (reference
+`fid/utils.py:12-87`, `utils.py:14-49`) sample the model on the fly.
+All return NHWC float32 in [-1,1] (matching the training transforms).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpcsv_tpu.data.transforms import normalize_image
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+class FolderStoryDataset:
+    """story dirs each holding {0..T-1}.png (reference FolderStoryDataset)."""
+
+    def __init__(self, img_folder: str, video_len: int = 5, imsize: int = 64):
+        self.img_folder = img_folder
+        self.stories = sorted(os.listdir(img_folder))
+        self.video_len = video_len
+        self.imsize = imsize
+
+    def __len__(self):
+        return len(self.stories)
+
+    def __getitem__(self, item):
+        d = os.path.join(self.img_folder, self.stories[item])
+        frames = []
+        for t in range(self.video_len):
+            im = Image.open(os.path.join(d, f"{t}.png")).convert("RGB")
+            frames.append(normalize_image(np.array(im), self.imsize))
+        return np.stack(frames, axis=0)  # (T,H,W,C)
+
+
+class FolderImageDataset:
+    """flat folder of pngs (reference FolderImageDataset); also accepts the
+    nested story layout and flattens it."""
+
+    def __init__(self, img_folder: str, imsize: int = 64):
+        self.imsize = imsize
+        self.files = []
+        for root, _, files in os.walk(img_folder):
+            for f in sorted(files):
+                if f.endswith(".png"):
+                    self.files.append(os.path.join(root, f))
+        self.files.sort()
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, item):
+        im = Image.open(self.files[item]).convert("RGB")
+        return normalize_image(np.array(im), self.imsize)
+
+
+class IgnoreLabelDataset:
+    """dict dataset -> just its 'images' (reference utils.py:12-20)."""
+
+    def __init__(self, orig, key: str = "images"):
+        self.orig = orig
+        self.key = key
+
+    def __len__(self):
+        return len(self.orig)
+
+    def __getitem__(self, index):
+        return np.asarray(self.orig[index][self.key])
+
+
+class StoryGANDataset:
+    """Samples the generator per story (reference fid/utils.py:52-87) —
+    but batched: generation happens in jitted chunks, not one story per
+    __getitem__ (the reference runs a full forward per item)."""
+
+    def __init__(self, net_g, variables, testdataset, rng, text_dim: int = 356, chunk: int = 16):
+        self.net_g = net_g
+        self.variables = variables
+        self.ds = testdataset
+        self.text_dim = text_dim
+        self.chunk = chunk
+        self.rng = rng
+        self._cache: dict[int, np.ndarray] = {}
+
+    def __len__(self):
+        return len(self.ds)
+
+    def _generate_chunk(self, start: int):
+        idxs = list(range(start, min(start + self.chunk, len(self.ds))))
+        motions, contents = [], []
+        for i in idxs:
+            item = self.ds[i]
+            desc = np.asarray(item["description"], np.float32)[:, : self.text_dim]
+            labels = np.asarray(item["labels"], np.float32)
+            motions.append(np.concatenate([desc, labels], axis=1))
+            contents.append(desc)
+        motion = jnp.asarray(np.stack(motions))
+        content = jnp.asarray(np.stack(contents))
+        key = jax.random.fold_in(self.rng, start)
+        out = self.net_g.apply(
+            self.variables,
+            motion,
+            content,
+            False,
+            False,  # eval mode
+            method="sample_videos",
+            rngs={"noise": key},
+        )
+        fake = np.asarray(out.image, np.float32)
+        for j, i in enumerate(idxs):
+            self._cache[i] = fake[j]
+
+    def __getitem__(self, index):
+        if index not in self._cache:
+            self._generate_chunk((index // self.chunk) * self.chunk)
+        return self._cache[index]
+
+
+class StoryGANSSIMDataset(StoryGANDataset):
+    """(fake, real) pairs for SSIM (reference utils.py StoryGANSSIMDataset)."""
+
+    def __getitem__(self, index):
+        fake = super().__getitem__(index)
+        real = np.asarray(self.ds[index]["images"], np.float32)
+        return fake, real

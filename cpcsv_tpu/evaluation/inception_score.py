@@ -1,0 +1,35 @@
+"""Inception Score (reference `fid/inception_score.py:10-68`):
+IS = exp(E_x KL(p(y|x) || p(y))) over `splits` chunks, using InceptionV3
+class probabilities. The classifier head is pluggable; without pretrained
+weights the score is meaningless but the harness is exercised by tests."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def inception_score_from_probs(probs: np.ndarray, splits: int = 10):
+    """probs: (N, num_classes) softmax outputs."""
+    N = probs.shape[0]
+    scores = []
+    for k in range(splits):
+        part = probs[k * (N // splits) : (k + 1) * (N // splits)]
+        if len(part) == 0:
+            continue
+        py = part.mean(axis=0, keepdims=True)
+        kl = part * (np.log(part + 1e-12) - np.log(py + 1e-12))
+        scores.append(np.exp(kl.sum(axis=1).mean()))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+def inception_score(dataset, classifier, batch_size: int = 32, splits: int = 10):
+    """classifier: jitted fn (N,H,W,3)->(N,C) logits."""
+    import jax.numpy as jnp
+    from cpcsv_tpu.evaluation.features import iter_batches
+
+    probs = []
+    for batch in iter_batches(dataset, batch_size, drop_last=False):
+        logits = np.asarray(classifier(jnp.asarray(batch.astype(np.float32))))
+        e = np.exp(logits - logits.max(axis=1, keepdims=True))
+        probs.append(e / e.sum(axis=1, keepdims=True))
+    return inception_score_from_probs(np.concatenate(probs, axis=0), splits)

@@ -144,6 +144,25 @@ class ImageDiscriminator(nn.Module):
         cate = self.cate_classify(feat) if self.use_categories else None
         return feat, logits, cate
 
+    def d_phase(self, real, fake, cond, train: bool = True):
+        """D-update forwards: real/wrong/fake logits + cate on real features
+        (order matches reference compute_discriminator_loss so BN/SN state
+        evolves the same way)."""
+        real_feat = self.encode_img(real, train=train)
+        fake_feat = self.encode_img(fake, train=train)
+        real_logits = self.get_cond_logits(real_feat, cond, train=train)
+        wrong_logits = self.get_cond_logits(real_feat[:-1], cond[1:], train=train)
+        fake_logits = self.get_cond_logits(fake_feat, cond, train=train)
+        cate = self.cate_classify(real_feat) if self.use_categories else None
+        return real_logits, wrong_logits, fake_logits, cate
+
+    def g_phase(self, fake, cond, train: bool = True):
+        """G-update forwards: fake logits + cate on fake features."""
+        fake_feat = self.encode_img(fake, train=train)
+        fake_logits = self.get_cond_logits(fake_feat, cond, train=train)
+        cate = self.cate_classify(fake_feat) if self.use_categories else None
+        return fake_logits, cate
+
 
 class SegDiscriminator(ImageDiscriminator):
     """STAGE1_D_SEG: identical, 1-channel input masks."""
@@ -194,3 +213,26 @@ class StoryDiscriminator(nn.Module):
             else None
         )
         return feat, logits, cons
+
+    def d_phase(self, real, fake, cond, shuffled=None, train: bool = True):
+        """D-update forwards (no cate head on the story D, reference
+        model.py:608). `shuffled` is the host-side shuffle-augmented real
+        stories for the order-consistency branch."""
+        real_feat = self(real, train=train)
+        fake_feat = self(fake, train=train)
+        real_logits = self.get_cond_logits(real_feat, cond, train=train)
+        wrong_logits = self.get_cond_logits(real_feat[:-1], cond[1:], train=train)
+        fake_logits = self.get_cond_logits(fake_feat, cond, train=train)
+        order_logits = None
+        if self.use_seq_consistency and shuffled is not None:
+            order_logits = self.seq_consisten_model(shuffled, train=train)
+        return real_logits, wrong_logits, fake_logits, order_logits
+
+    def g_phase(self, fake, cond, real=None, train: bool = True):
+        fake_feat = self(fake, train=train)
+        fake_logits = self.get_cond_logits(fake_feat, cond, train=train)
+        cons_fake = cons_real = None
+        if self.use_seq_consistency and real is not None:
+            cons_real = self.seq_consisten_model(real, train=train)
+            cons_fake = self.seq_consisten_model(fake, train=train)
+        return fake_logits, cons_fake, cons_real

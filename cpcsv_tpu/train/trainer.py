@@ -1,0 +1,219 @@
+"""GANTrainer — the training driver (reference `trainer.py:42-485`).
+
+Per epoch: iterate the story loader, drain the image loader in lockstep
+(wrap-around), run the jitted D-step then G-step, log scalars under the
+reference's tensorboard tag names, render the epoch sample grid, apply the
+manual LR halving with doubling interval (reference trainer.py:447-456),
+snapshot checkpoints every SNAPSHOT_INTERVAL.
+
+Run-dir self-archiving (reference trainer.py:55-61): the YAML config and the
+generator/trainer sources are copied into the run dir so that evaluation can
+re-import exactly what was trained.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from cpcsv_tpu.config import Config
+from cpcsv_tpu.data.loader import DataLoader, WrapAroundIterator
+from cpcsv_tpu.losses.shuffle import create_random_shuffle
+from cpcsv_tpu.models import build_models
+from cpcsv_tpu.parallel.mesh import make_mesh, shard_batch
+from cpcsv_tpu.train.checkpoint import CheckpointManager
+from cpcsv_tpu.train.state import TrainState, create_train_state
+from cpcsv_tpu.train.steps import make_train_steps
+from cpcsv_tpu.utils.image import save_image_results, save_story_results
+from cpcsv_tpu.utils.logging import MetricsLogger
+
+
+def lr_at_epoch(base_lr: float, epoch: int, decay_step: int) -> float:
+    """Reference schedule (trainer.py:447-456): halve at epoch==decay_step,
+    then the interval doubles each time (20, 40, 80, ...) — i.e. halvings
+    happen at cumulative epochs decay_step * (2^k - 1) ... actually at
+    epochs e where e % current_step == 0, with current_step doubling after
+    each halving. Reproduced iteratively."""
+    lr = base_lr
+    step = decay_step
+    e = 0
+    for e in range(1, epoch + 1):
+        if step > 0 and e % step == 0:
+            lr *= 0.5
+            step *= 2
+    return lr
+
+
+class GANTrainer:
+    def __init__(
+        self,
+        cfg: Config,
+        output_dir: str,
+        cfg_file: Optional[str] = None,
+        continue_ckpt: Optional[int] = None,
+        ratio: float = 1.0,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.output_dir = output_dir
+        self.model_dir = os.path.join(output_dir, "Model")
+        self.image_dir = os.path.join(output_dir, "Image")
+        self.log_dir = os.path.join(output_dir, "log")
+        self.test_dir = os.path.join(output_dir, "Test")
+        for d in (self.model_dir, self.image_dir, self.log_dir, self.test_dir):
+            os.makedirs(d, exist_ok=True)
+
+        # run-dir self-archiving (reference trainer.py:55-61)
+        if cfg_file and not os.path.exists(os.path.join(output_dir, "setting.yml")):
+            shutil.copyfile(cfg_file, os.path.join(output_dir, "setting.yml"))
+            pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            shutil.copyfile(
+                os.path.join(pkg, "models", "generator.py"),
+                os.path.join(output_dir, "generator.py"),
+            )
+            shutil.copyfile(
+                os.path.abspath(__file__), os.path.join(output_dir, "trainer.py")
+            )
+
+        self.video_len = cfg.VIDEO_LEN
+        self.max_epoch = cfg.TRAIN.MAX_EPOCH
+        self.snapshot_interval = cfg.TRAIN.SNAPSHOT_INTERVAL
+        self.ratio = ratio
+        self.continue_ckpt = continue_ckpt
+        self.seed = seed
+
+        self.mesh = make_mesh(cfg.MESH_SHAPE)
+        self.models = build_models(cfg)
+        self.d_step, self.g_step = make_train_steps(cfg, self.models)
+        self.ckpt = CheckpointManager(self.model_dir)
+        self.logger = MetricsLogger(self.log_dir)
+        self._np_rng = np.random.default_rng(seed)
+
+    # ------------------------------------------------------------------
+    def _device_batches(self, st_batch, im_batch):
+        cfg = self.cfg
+        if cfg.USE_SEQ_CONSISTENCY:
+            shuffled, order_labels = create_random_shuffle(
+                st_batch["images"], rng=self._np_rng
+            )
+            st_batch = {**st_batch, "shuffled": shuffled, "order_labels": order_labels}
+        st = shard_batch(st_batch, self.mesh)
+        im = shard_batch(im_batch, self.mesh)
+        return st, im
+
+    # ------------------------------------------------------------------
+    def train(self, imageloader: DataLoader, storyloader: DataLoader, testloader=None):
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(self.seed)
+        state = create_train_state(cfg, rng, self.models)
+
+        start_epoch = 0
+        if self.continue_ckpt:
+            state = self.ckpt.restore(state, epoch=int(self.continue_ckpt))
+            start_epoch = int(self.continue_ckpt)
+            print(f"Continue training from epoch {start_epoch}")
+
+        image_iter = WrapAroundIterator(imageloader)
+        num_step = len(storyloader)
+        count = 0
+        c_time = time.time()
+        print(f"LR DECAY EPOCH: {cfg.TRAIN.LR_DECAY_EPOCH}")
+
+        last_st_batch = None
+        for epoch in range(start_epoch, self.max_epoch):
+            start_t = time.time()
+            lr_g = lr_at_epoch(cfg.TRAIN.GENERATOR_LR, epoch, cfg.TRAIN.LR_DECAY_EPOCH)
+            lr_d = lr_at_epoch(
+                cfg.TRAIN.DISCRIMINATOR_LR, epoch, cfg.TRAIN.LR_DECAY_EPOCH
+            )
+            stats = {}
+            for i, st_batch_host in enumerate(storyloader):
+                im_batch_host = next(image_iter)
+                st_batch, im_batch = self._device_batches(st_batch_host, im_batch_host)
+                last_st_batch = (st_batch_host, st_batch)
+
+                rng, k_d, k_g = jax.random.split(rng, 3)
+                state, d_metrics = self.d_step(state, k_d, st_batch, im_batch, lr_d)
+                state, g_metrics = self.g_step(state, k_g, st_batch, im_batch, lr_g)
+                stats.update(d_metrics)
+                stats.update(g_metrics)
+
+                step = i + num_step * epoch
+                # story-D scalars every step (reference trainer.py:357-360)
+                for tag in ("st_D/loss", "st_D/real", "st_D/fake", "st_D/order"):
+                    if tag in d_metrics:
+                        self.logger.add_scalar(tag, d_metrics[tag], step)
+                if i % 20 == 0:  # everything else every 20 steps (:432-435)
+                    self.logger.add_scalars(
+                        {k: v for k, v in stats.items() if not k.startswith("st_D/")},
+                        step,
+                    )
+                count += 1
+
+            # ---- epoch sample grid (reference trainer.py:437-444)
+            if last_st_batch is not None:
+                self._log_epoch_samples(state, epoch, *last_st_batch, rng)
+
+            self.logger.add_scalar("learning/generator", lr_g, epoch)
+            self.logger.add_scalar("learning/st_discriminator", lr_d, epoch)
+            self.logger.add_scalar("learning/im_discriminator", lr_d, epoch)
+
+            if cfg.EVALUATE_FID_SCORE and testloader is not None:
+                self.calculate_vfid(state, epoch, testloader)
+
+            epoch_time = time.time() - start_t
+            total_mins = int((time.time() - c_time) / 60)
+            print(
+                f"----[{epoch}/{self.max_epoch}] epoch time {epoch_time:.1f}s, "
+                f"total {total_mins} mins----"
+            )
+
+            if epoch % self.snapshot_interval == 0:
+                self.ckpt.save(state, epoch)
+        self.ckpt.save(state, self.max_epoch)
+        self.logger.flush()
+        return state
+
+    # ------------------------------------------------------------------
+    def _log_epoch_samples(self, state: TrainState, epoch, st_batch_host, st_batch, rng):
+        cfg = self.cfg
+        net_g = self.models[0]
+        st_motion = np.concatenate(
+            [st_batch_host["description"], st_batch_host["labels"]], axis=2
+        )
+        out = net_g.apply(
+            state.gen.variables(),
+            jax.numpy.asarray(st_motion),
+            jax.numpy.asarray(st_batch_host["description"]),
+            cfg.SEGMENT_LEARNING,
+            False,  # eval mode for sampling
+            method="sample_videos",
+            rngs={"noise": rng},
+        )
+        fake = np.asarray(out.image)
+        grid = save_story_results(
+            st_batch_host["images"], fake, st_batch_host.get("text"),
+            f"{epoch:03d}", self.image_dir,
+        )
+        self.logger.add_image("pororo", grid, epoch)
+        if cfg.SEGMENT_LEARNING and out.seg is not None:
+            seg_grid = save_image_results(None, np.asarray(out.seg), cfg.VIDEO_LEN)
+            self.logger.add_image("segment", seg_grid, epoch)
+
+    # ------------------------------------------------------------------
+    def calculate_vfid(self, state: TrainState, epoch: int, testloader):
+        """In-training FID/FSD hook (reference trainer.py:160-174)."""
+        from cpcsv_tpu.evaluation.drivers import evaluate_fid_fsd_in_memory
+
+        scores = evaluate_fid_fsd_in_memory(
+            self.cfg, self.models[0], state.gen.variables(), testloader,
+            rng=jax.random.PRNGKey(1234 + epoch),
+        )
+        self.logger.add_scalar("Evaluation/vfid", scores["fsd"], epoch)
+        self.logger.add_scalar("Evaluation/fid", scores["fid"], epoch)
+        return scores
