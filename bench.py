@@ -1,0 +1,119 @@
+"""Benchmark: full CP-CSV training step throughput on one chip.
+
+Runs the flagship (cascade, SEGMENT_LEARNING) model at the shipped
+final-model scale (cfg/final.yml: GF_DIM 256 -> gf 2048, GF_SEG 1024,
+IM_BATCH 90, ST_BATCH 18 -> 180 generated frames per D+G step) on synthetic
+data, and reports frames/sec/chip over the alternating D-step + G-step.
+
+Prints ONE JSON line:
+  {"metric": "train_frames_per_sec_per_chip", "value": N, "unit": "frames/s",
+   "vs_baseline": N / recorded}
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md — no
+benchmarks in-repo), so the recorded denominator is this framework's
+round-1 value stored in BENCH_BASELINE.json (vs_baseline therefore tracks
+round-over-round speedup; 1.0 on the round that creates the file).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+
+
+def main():
+    from cpcsv_tpu.config import default_config, GanConfig
+    from cpcsv_tpu.models import build_models
+    from cpcsv_tpu.train import create_train_state, make_train_steps
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    cfg = default_config().with_updates(
+        CONFIG_NAME="bench",
+        CASCADE_MODEL=True,
+        SEGMENT_LEARNING=True,
+        COMPUTE_DTYPE="bfloat16" if on_tpu else "float32",
+    )
+    B_st, B_im, T = 18, 90, cfg.VIDEO_LEN
+    if not on_tpu:  # CPU smoke: shrink so the bench itself stays runnable
+        cfg = cfg.with_updates(
+            GAN=GanConfig(CONDITION_DIM=124, Z_DIM=100, DF_DIM=16, GF_DIM=8, GF_SEG_DIM=32)
+        )
+        B_st, B_im = 2, 4
+
+    models = build_models(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), models)
+    d_step, g_step = make_train_steps(cfg, models)
+
+    rng = np.random.default_rng(0)
+    st_batch = {
+        "images": jnp.asarray(rng.standard_normal((B_st, T, 64, 64, 3)), jnp.float32),
+        "description": jnp.asarray(rng.standard_normal((B_st, T, 356)), jnp.float32),
+        "labels": jnp.asarray((rng.random((B_st, T, 9)) < 0.3), jnp.float32),
+    }
+    im_batch = {
+        "images": jnp.asarray(rng.standard_normal((B_im, 64, 64, 3)), jnp.float32),
+        "description": jnp.asarray(rng.standard_normal((B_im, 356)), jnp.float32),
+        "labels": jnp.asarray((rng.random((B_im, 9)) < 0.3), jnp.float32),
+        "content": jnp.asarray(rng.standard_normal((B_im, T, 356)), jnp.float32),
+        "images_seg": jnp.asarray(rng.standard_normal((B_im, 64, 64, 1)), jnp.float32),
+    }
+
+    key = jax.random.PRNGKey(1)
+
+    def one_step(state, key):
+        k1, k2 = jax.random.split(key)
+        state, _ = d_step(state, k1, st_batch, im_batch, 4e-4)
+        state, m = g_step(state, k2, st_batch, im_batch, 1e-4)
+        return state, m
+
+    # warmup / compile
+    state, m = one_step(state, key)
+    jax.block_until_ready(state)
+
+    n_iters = 20 if on_tpu else 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        key, sub = jax.random.split(key)
+        state, m = one_step(state, sub)
+    jax.block_until_ready(state)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    frames_per_step = B_st * T + B_im  # generated frames per D+G step
+    value = frames_per_step / dt
+
+    baseline = None
+    if os.path.exists(BASELINE_FILE):
+        try:
+            rec = json.load(open(BASELINE_FILE))
+            if rec.get("platform") == jax.devices()[0].platform:
+                baseline = rec.get("value")
+        except Exception:
+            baseline = None
+    if baseline is None:
+        json.dump(
+            {"value": value, "platform": jax.devices()[0].platform},
+            open(BASELINE_FILE, "w"),
+        )
+        baseline = value
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_frames_per_sec_per_chip",
+                "value": round(value, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(value / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

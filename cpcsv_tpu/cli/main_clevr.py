@@ -1,0 +1,58 @@
+"""CLEVR CLI (reference `main_clevr.py:39-139`): same dispatch as the Pororo
+CLI but with the CLEVR loaders (4-frame stories, 8-d labels, *_mask.png)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pprint
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Train CP-CSV on CLEVR (TPU)")
+    parser.add_argument("--debug", default=False, action="store_true")
+    parser.add_argument("--cfg", dest="cfg_file", type=str,
+                        default=os.path.join(os.path.dirname(__file__), "..", "configs", "clevr.yml"))
+    parser.add_argument("--load_ckpt", default=None, type=str)
+    parser.add_argument("--continue_ckpt", default=None, type=str)
+    parser.add_argument("--data_dir", dest="data_dir", type=str, default="")
+    parser.add_argument("--eval_fid", type=bool, default=False)
+    parser.add_argument("--manualSeed", type=int, default=0)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    from cpcsv_tpu.config import config_from_file
+    from cpcsv_tpu.data.clevr import ClevrImageDataset, ClevrStoryDataset
+    from cpcsv_tpu.data.loader import DataLoader
+
+    args = parse_args(argv)
+    cfg = config_from_file(args.cfg_file)
+    if args.data_dir:
+        cfg = cfg.with_updates(DATA_DIR=args.data_dir)
+    print("Using config:")
+    pprint.pprint(cfg)
+    output_dir = "./output/debug" if args.debug else f"./output/{cfg.CONFIG_NAME}"
+
+    story = ClevrStoryDataset(cfg.DATA_DIR, "train", cfg.VIDEO_LEN, cfg.IMSIZE)
+    image = ClevrImageDataset(cfg.DATA_DIR, "train", cfg.VIDEO_LEN, cfg.IMSIZE,
+                              cfg.SESIZE, use_segment=cfg.SEGMENT_LEARNING)
+    test = ClevrStoryDataset(cfg.DATA_DIR, "test", cfg.VIDEO_LEN, cfg.IMSIZE)
+    imageloader = DataLoader(image, cfg.TRAIN.IM_BATCH_SIZE, shuffle=True, drop_last=True)
+    storyloader = DataLoader(story, cfg.TRAIN.ST_BATCH_SIZE, shuffle=True, drop_last=True)
+    testloader = DataLoader(test, cfg.TRAIN.ST_BATCH_SIZE, shuffle=False, drop_last=True)
+
+    if args.eval_fid:
+        from cpcsv_tpu.evaluation.drivers import Infer
+
+        Infer(cfg, output_dir).eval_fid2(testloader)
+    else:
+        from cpcsv_tpu.train.trainer import GANTrainer
+
+        trainer = GANTrainer(cfg, output_dir, cfg_file=args.cfg_file,
+                             continue_ckpt=args.continue_ckpt, seed=args.manualSeed)
+        trainer.train(imageloader, storyloader, testloader)
+
+
+if __name__ == "__main__":
+    main()

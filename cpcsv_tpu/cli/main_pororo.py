@@ -1,0 +1,98 @@
+"""Pororo CLI — same flag surface as reference `main_pororo.py:29-43`:
+
+  python -m cpcsv_tpu.cli.main_pororo --cfg cfg.yml [--load_ckpt N |
+      --eval_fid 1 | --eval_fvd 1 | --continue_ckpt N] [--debug]
+      [--data_dir D] [--manualSeed S]
+
+Extension: `--synthetic N` trains on the in-memory synthetic dataset (same
+schema) when no Pororo data is on disk — the dataless end-to-end slice.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pprint
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Train a CP-CSV story GAN (TPU)")
+    parser.add_argument("--debug", default=False, action="store_true")
+    parser.add_argument("--cfg", dest="cfg_file", type=str,
+                        default=os.path.join(os.path.dirname(__file__), "..", "configs", "final.yml"))
+    parser.add_argument("--load_ckpt", default=None, type=str)
+    parser.add_argument("--continue_ckpt", default=None, type=str)
+    parser.add_argument("--data_dir", dest="data_dir", type=str, default="")
+    parser.add_argument("--eval_fid", type=bool, default=False)
+    parser.add_argument("--eval_fvd", type=bool, default=False)
+    parser.add_argument("--manualSeed", type=int, default=0)
+    parser.add_argument("--synthetic", type=int, default=0,
+                        help="train on N synthetic samples instead of DATA_DIR")
+    parser.add_argument("--max_epoch", type=int, default=None,
+                        help="override TRAIN.MAX_EPOCH (smoke runs)")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    from cpcsv_tpu.config import config_from_file
+
+    args = parse_args(argv)
+    cfg = config_from_file(args.cfg_file)
+    if args.data_dir:
+        cfg = cfg.with_updates(DATA_DIR=args.data_dir)
+    if args.max_epoch is not None:
+        cfg = cfg.with_updates(
+            TRAIN=cfg.TRAIN.__class__(**{**cfg.TRAIN.__dict__, "MAX_EPOCH": args.max_epoch})
+        )
+    print("Using config:")
+    pprint.pprint(cfg)
+
+    output_dir = "./output/debug" if args.debug else f"./output/{cfg.CONFIG_NAME}"
+
+    from cpcsv_tpu.data.loader import DataLoader
+
+    if args.synthetic:
+        from cpcsv_tpu.data.synthetic import SyntheticImageDataset, SyntheticStoryDataset
+
+        story = SyntheticStoryDataset(args.synthetic, cfg.VIDEO_LEN, cfg.IMSIZE,
+                                      cfg.TEXT.DIMENSION, cfg.LABEL_NUM)
+        image = SyntheticImageDataset(args.synthetic, cfg.VIDEO_LEN, cfg.IMSIZE,
+                                      cfg.SESIZE, cfg.TEXT.DIMENSION, cfg.LABEL_NUM,
+                                      use_segment=cfg.SEGMENT_LEARNING)
+        test = SyntheticStoryDataset(max(args.synthetic // 4, 4), cfg.VIDEO_LEN,
+                                     cfg.IMSIZE, cfg.TEXT.DIMENSION, cfg.LABEL_NUM, seed=99)
+        imageloader = DataLoader(image, cfg.TRAIN.IM_BATCH_SIZE, shuffle=True, drop_last=True)
+        storyloader = DataLoader(story, cfg.TRAIN.ST_BATCH_SIZE, shuffle=True, drop_last=True)
+        testloader = DataLoader(test, cfg.TRAIN.ST_BATCH_SIZE, shuffle=False, drop_last=True)
+    else:
+        from cpcsv_tpu.data.pororo import build_pororo_loaders
+
+        imageloader, storyloader, testloader = build_pororo_loaders(cfg, args.manualSeed)
+
+    if args.eval_fid:
+        from cpcsv_tpu.evaluation.drivers import Infer
+
+        Infer(cfg, output_dir).eval_fid2(testloader)
+    elif args.eval_fvd:
+        from cpcsv_tpu.evaluation.drivers import Infer
+
+        Infer(cfg, output_dir).eval_fvd(testloader)
+    elif args.load_ckpt is not None:
+        from cpcsv_tpu.evaluation.drivers import Infer
+
+        infer = Infer(cfg, output_dir, load_ckpt=args.load_ckpt)
+        infer.inference_samples(
+            testloader, os.path.join(output_dir, "Evaluation", "samples")
+        )
+    else:
+        from cpcsv_tpu.train.trainer import GANTrainer
+
+        trainer = GANTrainer(
+            cfg, output_dir, cfg_file=args.cfg_file,
+            continue_ckpt=args.continue_ckpt, seed=args.manualSeed,
+        )
+        trainer.train(imageloader, storyloader, testloader)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,215 @@
+"""Inference / evaluation drivers (reference `inference.py:32-230`).
+
+The filesystem protocol matches the reference so downstream tooling works:
+  * `generate_story`: Evaluation/{name}/original/{i}/{t}.png and
+    .../generate/{i}/{t}.png folder trees (inference.py:147-199)
+  * `inference_samples`: numbered pngs {1..N}.png for generated frames plus
+    ./Evaluation/ref for real frames — the FVD input (miscc/utils.py:402-428)
+  * `eval_fid2`: walks available checkpoints newest-first, writes
+    Evaluation/{name}/fid_score2.csv rows "epoch,fid,vfid" (inference.py:201-230)
+  * `eval_fvd`: per checkpoint numbered dump + FVD, fvd_score.csv
+    (inference.py:128-141)
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpcsv_tpu.config import Config
+from cpcsv_tpu.evaluation.datasets import (
+    FolderImageDataset,
+    FolderStoryDataset,
+    IgnoreLabelDataset,
+    StoryGANDataset,
+    StoryGANSSIMDataset,
+)
+from cpcsv_tpu.evaluation.fid import fid_score
+from cpcsv_tpu.evaluation.fsd import fsd_score
+from cpcsv_tpu.evaluation.fvd import calculate_fvd
+from cpcsv_tpu.evaluation.ssim import ssim_score
+from cpcsv_tpu.models import build_models
+from cpcsv_tpu.train.checkpoint import CheckpointManager
+from cpcsv_tpu.train.state import create_train_state
+from cpcsv_tpu.utils.image import save_all_img, save_png
+
+
+def _batch_motion_content(cfg: Config, batch):
+    desc = np.asarray(batch["description"], np.float32)[:, :, : cfg.TEXT.DIMENSION]
+    labels = np.asarray(batch["labels"], np.float32)
+    motion = np.concatenate([desc, labels], axis=2)
+    return jnp.asarray(motion), jnp.asarray(desc)
+
+
+class Infer:
+    """Reference `Infer` (inference.py:32-135): loads trained generator
+    checkpoints from the run dir and drives sampling + metrics."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        output_dir: str,
+        load_ckpt: Optional[int] = None,
+        rng_seed: int = 0,
+        fid_weights: Optional[str] = None,
+        fsd_weights: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        self.output_dir = output_dir
+        self.model_dir = os.path.join(output_dir, "Model")
+        self.eval_dir = os.path.join(output_dir, "Evaluation", cfg.CONFIG_NAME or "eval")
+        os.makedirs(self.eval_dir, exist_ok=True)
+        self.ckpt = CheckpointManager(self.model_dir)
+        self.models = build_models(cfg)
+        self.net_g = self.models[0]
+        self.rng = jax.random.PRNGKey(rng_seed)
+        self.fid_weights = fid_weights
+        self.fsd_weights = fsd_weights
+
+        # template for orbax restore
+        self._template = create_train_state(cfg, jax.random.PRNGKey(0), self.models)
+        self._gen_vars = None
+        if load_ckpt is not None:
+            self.load_epoch(int(load_ckpt))
+
+    # ------------------------------------------------------------------
+    def load_epoch(self, epoch: int):
+        params = self.ckpt.restore_generator(self._template.gen.params, epoch)
+        self._gen_vars = {
+            "params": params,
+            "batch_stats": self._template.gen.batch_stats,
+        }
+        # prefer full state (has trained BN stats) if available
+        try:
+            state = self.ckpt.restore(self._template, epoch=epoch)
+            self._gen_vars = state.gen.variables()
+        except Exception:
+            pass
+        return self._gen_vars
+
+    def sample_videos_np(self, batch, seg: bool = False):
+        cfg = self.cfg
+        motion, content = _batch_motion_content(cfg, batch)
+        self.rng, key = jax.random.split(self.rng)
+        out = self.net_g.apply(
+            self._gen_vars,
+            motion,
+            content,
+            seg,
+            False,
+            method="sample_videos",
+            rngs={"noise": key},
+        )
+        return np.asarray(out.image), (
+            np.asarray(out.seg) if out.seg is not None else None
+        )
+
+    # ------------------------------------------------------------------
+    def generate_story(self, storyloader, dirname: str = ""):
+        """original/ + generate/ folder trees (reference inference.py:147-199)."""
+        orig_dir = os.path.join(self.eval_dir, dirname, "original")
+        gen_dir = os.path.join(self.eval_dir, dirname, "generate")
+        story_id = 0
+        for batch in storyloader:
+            fake, _ = self.sample_videos_np(batch)
+            real = np.asarray(batch["images"], np.float32)
+            for b in range(fake.shape[0]):
+                od = os.path.join(orig_dir, str(story_id))
+                gd = os.path.join(gen_dir, str(story_id))
+                os.makedirs(od, exist_ok=True)
+                os.makedirs(gd, exist_ok=True)
+                for t in range(fake.shape[1]):
+                    save_png(real[b, t], os.path.join(od, f"{t}.png"))
+                    save_png(fake[b, t], os.path.join(gd, f"{t}.png"))
+                story_id += 1
+        return orig_dir, gen_dir
+
+    def inference_samples(self, storyloader, save_path: str):
+        """Numbered png dump + ./Evaluation/ref (reference miscc/utils.py:402)."""
+        ref_dir = os.path.join(self.output_dir, "Evaluation", "ref")
+        cnt_gen = cnt_ref = 0
+        for batch in storyloader:
+            fake, _ = self.sample_videos_np(batch)
+            real = np.asarray(batch["images"], np.float32)
+            cnt_gen = save_all_img(fake, cnt_gen, save_path)
+            cnt_ref = save_all_img(real, cnt_ref, ref_dir)
+        return save_path, ref_dir
+
+    # ------------------------------------------------------------------
+    def eval_fid2(self, testloader, epochs: Optional[list[int]] = None):
+        """Regenerate + folder FID/FSD per checkpoint, newest first
+        (reference inference.py:201-230). Appends to fid_score2.csv."""
+        cfg = self.cfg
+        epochs = epochs or sorted(self.ckpt.available_generator_epochs(), reverse=True)
+        csv_path = os.path.join(self.eval_dir, "fid_score2.csv")
+        results = []
+        for epoch in epochs:
+            self.load_epoch(epoch)
+            orig_dir, gen_dir = self.generate_story(testloader, f"epoch_{epoch}")
+            fsd = fsd_score(
+                FolderStoryDataset(orig_dir, cfg.VIDEO_LEN, cfg.IMSIZE),
+                FolderStoryDataset(gen_dir, cfg.VIDEO_LEN, cfg.IMSIZE),
+                weights_path=self.fsd_weights,
+            )
+            fid = fid_score(
+                FolderImageDataset(orig_dir, cfg.IMSIZE),
+                FolderImageDataset(gen_dir, cfg.IMSIZE),
+                normalize=True,
+                weights_path=self.fid_weights,
+            )
+            with open(csv_path, "a", newline="") as f:
+                csv.writer(f).writerow([epoch, fid, fsd])
+            results.append({"epoch": epoch, "fid": fid, "vfid": fsd})
+            print(f"epoch {epoch}: fid={fid:.3f} vfid/fsd={fsd:.3f}")
+        return results
+
+    def eval_fvd(self, storyloader, epochs: Optional[list[int]] = None,
+                 num_of_video: int = 272):
+        """Per-checkpoint FVD (reference inference.py:128-141)."""
+        epochs = epochs or sorted(self.ckpt.available_generator_epochs(), reverse=True)
+        csv_path = os.path.join(self.eval_dir, "fvd_score.csv")
+        results = []
+        for epoch in epochs:
+            self.load_epoch(epoch)
+            gen_dir = os.path.join(self.eval_dir, f"fvd_epoch_{epoch}")
+            gen_dir, ref_dir = self.inference_samples(storyloader, gen_dir)
+            fvd = calculate_fvd(gen_dir, ref_dir, num_of_video=num_of_video)
+            with open(csv_path, "a", newline="") as f:
+                csv.writer(f).writerow([epoch, fvd])
+            results.append({"epoch": epoch, "fvd": fvd})
+            print(f"epoch {epoch}: fvd={fvd:.3f}")
+        return results
+
+    def eval_ssim(self, testdataset, n: Optional[int] = None):
+        ds = StoryGANSSIMDataset(
+            self.net_g, self._gen_vars, testdataset, self.rng,
+            text_dim=self.cfg.TEXT.DIMENSION,
+        )
+        n = n or len(ds)
+        return ssim_score(ds[i] for i in range(n))
+
+
+# --------------------------------------------------------------------------
+def evaluate_fid_fsd_in_memory(cfg, net_g, gen_vars, testloader, rng,
+                               fid_weights=None, fsd_weights=None):
+    """In-training eval hook (reference trainer.py:160-174 calculate_vfid):
+    wraps the generator as a dataset and computes FID + FSD without dumping
+    pngs. Real-side stats cached under .cache/ like the reference."""
+    testdataset = testloader.dataset
+    gen_ds = StoryGANDataset(net_g, gen_vars, testdataset, rng, cfg.TEXT.DIMENSION)
+    real_ds = IgnoreLabelDataset(testdataset)
+    fsd = fsd_score(
+        real_ds, gen_ds, r_cache=".cache/seg_story_vfid_reference_score.npz",
+        weights_path=fsd_weights,
+    )
+    fid = fid_score(
+        real_ds, gen_ds, normalize=True,
+        r_cache=".cache/seg_story_fid_reference_score.npz",
+        weights_path=fid_weights,
+    )
+    return {"fid": fid, "fsd": fsd}

@@ -20,15 +20,25 @@ import jax.numpy as jnp
 
 
 def dynamic_filter_conv1d(
-    image: jnp.ndarray, filters: jnp.ndarray, pad: int
+    image: jnp.ndarray, filters: jnp.ndarray, pad: int, use_pallas: bool | None = None
 ) -> jnp.ndarray:
     """image: (B, C, L); filters: (B, O, C, K); returns (B, O, L_out).
 
     L_out = L + 2*pad - K + 1 (with the reference's K=21, pad=10: L_out = L).
+    On TPU with O=1 (the model's only case) dispatches to the Pallas fused
+    kernel (`ops/pallas/dfn.py`); pass use_pallas=False to force the einsum.
     """
+    import jax
+
     B, C, L = image.shape
     _, O, Cf, K = filters.shape
     assert Cf == C, (Cf, C)
+    if use_pallas is None:
+        use_pallas = O == 1 and jax.default_backend() == "tpu"
+    if use_pallas and O == 1:
+        from cpcsv_tpu.ops.pallas.dfn import dfn_pallas
+
+        return dfn_pallas(image, filters, pad)
     padded = jnp.pad(image, ((0, 0), (0, 0), (pad, pad)))
     L_out = L + 2 * pad - K + 1
     # unfold: taps[b, c, x, k] = padded[b, c, x + k]  (K static slices, no gather)

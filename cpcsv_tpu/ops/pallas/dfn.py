@@ -1,0 +1,73 @@
+"""Pallas TPU kernel for the dynamic-filter 1-D convolution.
+
+The reference runs this op as a Python loop of B tiny cuDNN conv1d calls
+(reference `layers.py:74-76` — 60-90 serialized kernel launches per train
+step). The XLA path (`ops/dynamic_filter.py`) is already one batched einsum;
+this Pallas kernel additionally fuses the tap-unfold with the contraction so
+the (B, C, L, K) tap tensor never exists in memory: everything stays in
+VMEM, K shifted fused-multiply-adds on the VPU.
+
+Layout: image arrives pre-padded (B, C, L+2*pad); filters (B, C, K);
+output (B, L). Batch is tiled over the grid. All shapes are static.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _dfn_kernel(img_ref, filt_ref, out_ref, *, L: int, K: int):
+    # img_ref: (TB, C, L + K - 1), filt_ref: (TB, C, K), out_ref: (TB, L)
+    img = img_ref[:]
+    filt = filt_ref[:]
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for k in range(K):  # K static taps, fused multiply-add on the VPU
+        acc = acc + jnp.sum(
+            img[:, :, k : k + L].astype(jnp.float32)
+            * filt[:, :, k : k + 1].astype(jnp.float32),
+            axis=1,
+        )
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "interpret"))
+def dfn_pallas(
+    image: jnp.ndarray, filters: jnp.ndarray, pad: int, interpret: bool = False
+) -> jnp.ndarray:
+    """image: (B, C, L); filters: (B, O=1, C, K) -> (B, 1, L_out).
+
+    Matches `dynamic_filter_conv1d` semantics for O=1 (the only case the
+    model uses: out_num=1, reference model.py:230).
+    """
+    B, C, L = image.shape
+    _, O, _, K = filters.shape
+    assert O == 1, "pallas DFN kernel supports out_num=1"
+    L_out = L + 2 * pad - K + 1
+    padded = jnp.pad(image, ((0, 0), (0, 0), (pad, pad)))
+    filt = filters[:, 0]  # (B, C, K)
+
+    TB = 8 if B % 8 == 0 else (B if B <= 16 else 1)
+    while B % TB:
+        TB //= 2
+    TB = max(TB, 1)
+    grid = (B // TB,)
+
+    out = pl.pallas_call(
+        functools.partial(_dfn_kernel, L=L_out, K=K),
+        out_shape=jax.ShapeDtypeStruct((B, L_out), image.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (TB, C, L + 2 * pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((TB, C, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, L_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(padded, filt)
+    return out[:, None, :]

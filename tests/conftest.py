@@ -1,6 +1,10 @@
-"""Force tests onto a virtual 8-device CPU mesh (no TPU needed).
+"""Force tests onto a virtual 8-device CPU mesh (no TPU needed) and enable
+the persistent compilation cache.
 
-Must set env BEFORE jax initializes its backends.
+NOTE: jax may already be imported at interpreter startup (site hook for the
+TPU tunnel plugin), so env vars alone are too late for jax config — use
+jax.config.update. JAX_PLATFORMS/XLA_FLAGS still work because backends
+initialize lazily on first device access.
 """
 
 import os
@@ -12,11 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
-
 import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import pytest  # noqa: E402
 
@@ -24,3 +28,8 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def devices():
     return jax.devices()
+
+
+def test_virtual_mesh_has_8_cpu_devices():
+    assert len(jax.devices()) == 8
+    assert jax.devices()[0].platform == "cpu"

@@ -1,0 +1,227 @@
+"""Weight-porting parity: build a small torch model with the REFERENCE's
+exact wiring (model.py:242-311 non-cascade / cascade_model.py downsample
+branch), port its state_dict with port_generator_state_dict, and compare
+the noise-free sub-paths (CA-Net encode, DFN fusion, full trunk decode)
+at fp32. This pins down concat order, reshape order, gating and BN porting.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+from cpcsv_tpu.models.generator import StoryGenerator
+from cpcsv_tpu.utils.port_torch import port_generator_state_dict
+
+# tiny dims
+TEXT, LABELS, COND, NOISE, IMSIZE_F, FN, FS = 20, 3, 8, 5, 12, 3, 5
+MOTION = TEXT + LABELS  # 23
+NINPUT = MOTION + COND + IMSIZE_F  # 43
+NGF, NGF_SEG, T = 32, 16, 3
+
+
+def conv3x3(i, o):
+    return nn.Conv2d(i, o, 3, 1, 1, bias=False)
+
+
+def up_block(i, o):
+    return nn.Sequential(
+        nn.Upsample(scale_factor=2, mode="nearest"),
+        conv3x3(i, o),
+        nn.BatchNorm2d(o),
+        nn.ReLU(True),
+    )
+
+
+def down_block(i, o):
+    return nn.Sequential(
+        nn.Conv2d(i, o, 3, 2, 1), nn.BatchNorm2d(o), nn.ReLU(True)
+    )
+
+
+class TorchMiniG(nn.Module):
+    """Reference StoryGAN wiring at mini scale (cascade variant includes the
+    mask re-encoder)."""
+
+    def __init__(self, cascade=False):
+        super().__init__()
+        self.cascade = cascade
+        self.ca_net_fc = nn.Linear(TEXT * T, COND * 2)
+        self.filter_net = nn.Sequential(
+            nn.Linear(COND, FS * FN), nn.BatchNorm1d(FS * FN)
+        )
+        self.image_net = nn.Sequential(
+            nn.Linear(MOTION, IMSIZE_F * FN), nn.BatchNorm1d(IMSIZE_F * FN), nn.Tanh()
+        )
+        self.fc = nn.Sequential(
+            nn.Linear(NINPUT, NGF * 16, bias=False),
+            nn.BatchNorm1d(NGF * 16),
+            nn.ReLU(True),
+        )
+        self.upsample1 = up_block(NGF, NGF // 2)
+        self.upsample2 = up_block(NGF // 2, NGF // 4)
+        self.upsample3 = up_block(NGF // 4, NGF // 8)
+        self.upsample4 = up_block(NGF // 8, NGF // 16)
+        self.img = nn.Sequential(conv3x3(NGF // 16, 3), nn.Tanh())
+        self.seg_c = conv3x3(NGF_SEG, NGF)
+        self.seg_c1 = conv3x3(NGF_SEG // 2, NGF // 2)
+        self.fc_seg = nn.Sequential(
+            nn.Linear(NINPUT, NGF_SEG * 16, bias=False),
+            nn.BatchNorm1d(NGF_SEG * 16),
+            nn.ReLU(True),
+        )
+        self.upsample1_seg = up_block(NGF_SEG, NGF_SEG // 2)
+        self.upsample2_seg = up_block(NGF_SEG // 2, NGF_SEG // 4)
+        self.upsample3_seg = up_block(NGF_SEG // 4, NGF_SEG // 8)
+        self.upsample4_seg = up_block(NGF_SEG // 8, NGF_SEG // 16)
+        self.img_seg = nn.Sequential(conv3x3(NGF_SEG // 16, 1), nn.Tanh())
+        self.m_net = nn.Sequential(nn.Linear(MOTION, MOTION), nn.BatchNorm1d(MOTION))
+        self.c_net = nn.Sequential(nn.Linear(COND, COND), nn.BatchNorm1d(COND))
+        self.recurrent = nn.GRUCell(NOISE + MOTION, MOTION)
+        self.mocornn = nn.GRUCell(MOTION, COND)
+        if cascade:
+            self.presample = nn.Sequential(
+                conv3x3(1, NGF_SEG // 16), nn.BatchNorm2d(NGF_SEG // 16), nn.ReLU()
+            )
+            self.downsample1_seg = down_block(NGF_SEG // 16, NGF_SEG // 8)
+            self.downsample2_seg = down_block(NGF_SEG // 8, NGF_SEG // 4)
+            self.downsample3_seg = down_block(NGF_SEG // 4, NGF_SEG // 2)
+            self.downsample4_seg = down_block(NGF_SEG // 2, NGF_SEG)
+
+    def state_dict_ref_names(self):
+        sd = self.state_dict()
+        return {k.replace("ca_net_fc", "ca_net.fc"): v for k, v in sd.items()}
+
+    def decode(self, zmc_all):
+        """reference sample_videos trunk, v1 gating (model.py:379-407)."""
+        zmc_img = self.fc(zmc_all).view(-1, NGF, 4, 4)
+        zmc_seg = self.fc_seg(zmc_all).view(-1, NGF_SEG, 4, 4)
+        if self.cascade:
+            h1 = self.upsample1_seg(zmc_seg)
+            h2 = self.upsample2_seg(h1)
+            h3 = self.upsample3_seg(h2)
+            h4 = self.upsample4_seg(h3)
+            mask = self.img_seg(h4)
+            z = self.presample(mask)
+            g4 = self.downsample1_seg(z)
+            g3 = self.downsample2_seg(g4)
+            g2 = self.downsample3_seg(g3)
+            g1 = self.downsample4_seg(g2)
+            zmc_img = self.seg_c(g1) * zmc_img + zmc_img
+            h_img = self.upsample1(zmc_img)
+            h_img = self.seg_c1(g2) * h_img + h_img
+            h_img = self.upsample2(h_img)
+            h_img = self.upsample3(h_img)
+            h_img = self.upsample4(h_img)
+            return self.img(h_img), mask
+        zmc_img = self.seg_c(zmc_seg) * zmc_img + zmc_img
+        h_seg = self.upsample1_seg(zmc_seg)
+        h_img = self.upsample1(zmc_img)
+        h_img = self.seg_c1(h_seg) * h_img + h_img
+        h_seg = self.upsample2_seg(h_seg)
+        h_img = self.upsample2(h_img)
+        h_seg = self.upsample3_seg(h_seg)
+        h_img = self.upsample3(h_img)
+        h_seg = self.upsample4_seg(h_seg)
+        h_img = self.upsample4(h_img)
+        return self.img(h_img), self.img_seg(h_seg)
+
+    def dfn(self, m_flat, crnn_code):
+        """reference model.py:373-377."""
+        import torch.nn.functional as F
+
+        m_image = self.image_net(m_flat).view(-1, FN, IMSIZE_F)
+        c_filter = self.filter_net(crnn_code).view(-1, 1, FN, FS)
+        outs = []
+        img = m_image.unsqueeze(0)
+        for i in range(img.shape[1]):
+            outs.append(F.conv1d(img[:, i], c_filter[i], padding=FS // 2))
+        return torch.cat(outs, 0).squeeze(1)
+
+
+def _mini_flax(cascade):
+    return StoryGenerator(
+        video_len=T,
+        motion_dim=MOTION,
+        content_dim=COND,
+        noise_dim=NOISE,
+        gf_dim=NGF,
+        gf_dim_seg=NGF_SEG,
+        text_dim=TEXT,
+        use_segment=True,
+        cascade=cascade,
+        filter_num=FN,
+        filter_size=FS,
+        image_size=IMSIZE_F,
+    )
+
+
+@pytest.mark.parametrize("cascade", [False, True])
+def test_ported_decode_matches_torch(cascade):
+    torch.manual_seed(0)
+    tm = TorchMiniG(cascade).eval()
+    variables = port_generator_state_dict(
+        tm.state_dict_ref_names(), use_segment=True, cascade=cascade
+    )
+
+    gen = _mini_flax(cascade)
+    rng = np.random.default_rng(0)
+    B = 4
+    zmc = rng.standard_normal((B, NINPUT)).astype(np.float32)
+
+    with torch.no_grad():
+        t_img, t_mask = tm.decode(torch.tensor(zmc))
+
+    with jax.default_matmul_precision("highest"):
+        frames, latents, mask = gen.apply(
+            variables, jnp.asarray(zmc), False, method="_decode"
+        )
+    # ours: NHWC tanh'd already inside _decode
+    np.testing.assert_allclose(
+        np.asarray(frames).transpose(0, 3, 1, 2),
+        t_img.numpy(),
+        rtol=2e-3, atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mask).transpose(0, 3, 1, 2), t_mask.numpy(), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_ported_ca_net_and_dfn_match_torch():
+    torch.manual_seed(1)
+    tm = TorchMiniG(False).eval()
+    variables = port_generator_state_dict(
+        tm.state_dict_ref_names(), use_segment=True, cascade=False
+    )
+    gen = _mini_flax(False)
+    rng = np.random.default_rng(1)
+    B = 4
+
+    content = rng.standard_normal((B, TEXT * T)).astype(np.float32)
+    with torch.no_grad():
+        x = torch.relu(tm.ca_net_fc(torch.tensor(content)))
+        t_mu, t_logvar = x[:, :COND], x[:, COND:]
+
+    def flax_encode(mdl, c):
+        _, mu, logvar = mdl.ca_net(jnp.asarray(c), sample=False)
+        return mu, logvar
+
+    with jax.default_matmul_precision("highest"):
+        mu, logvar = gen.apply(variables, content, method=flax_encode)
+    np.testing.assert_allclose(np.asarray(mu), t_mu.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(logvar), t_logvar.numpy(), rtol=1e-4, atol=1e-5)
+
+    # DFN fusion path (image_net + filter_net + batched conv, eval-mode BN)
+    m_flat = rng.standard_normal((B * T, MOTION)).astype(np.float32)
+    crnn = rng.standard_normal((B * T, COND)).astype(np.float32)
+    with torch.no_grad():
+        t_mc = tm.dfn(torch.tensor(m_flat), torch.tensor(crnn))
+
+    def flax_dfn(mdl, m, c):
+        return mdl._dfn_fuse(jnp.asarray(m), jnp.asarray(c), train=False)
+
+    with jax.default_matmul_precision("highest"):
+        mc = gen.apply(variables, m_flat, crnn, method=flax_dfn)
+    np.testing.assert_allclose(np.asarray(mc), t_mc.numpy(), rtol=1e-3, atol=1e-4)
