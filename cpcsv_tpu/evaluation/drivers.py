@@ -185,6 +185,26 @@ class Infer:
             print(f"epoch {epoch}: fvd={fvd:.3f}")
         return results
 
+    def save_test_samples(self, storyloader, save_path: str):
+        """Grids + images.npy/labels.npy dump (reference
+        miscc/utils.py:343-399 save_test_samples/save_train_samples)."""
+        from cpcsv_tpu.utils.image import save_story_results
+
+        os.makedirs(save_path, exist_ok=True)
+        save_images, save_labels = [], []
+        for i, batch in enumerate(storyloader):
+            fake, _ = self.sample_videos_np(batch)
+            real = np.asarray(batch["images"], np.float32)
+            grid = save_story_results(
+                real, fake, batch.get("text"), f"{i:03d}", save_path
+            )
+            from cpcsv_tpu.utils.image import images_to_numpy  # noqa: F401
+
+            save_images.append(fake)
+            save_labels.append(np.asarray(batch["labels"], np.float32))
+        np.save(os.path.join(save_path, "images.npy"), np.concatenate(save_images, 0))
+        np.save(os.path.join(save_path, "labels.npy"), np.concatenate(save_labels, 0))
+
     def eval_ssim(self, testdataset, n: Optional[int] = None):
         ds = StoryGANSSIMDataset(
             self.net_g, self._gen_vars, testdataset, self.rng,

@@ -59,6 +59,31 @@ class VideoGenerateDataset:
         return np.stack(frames, axis=0)  # (T,H,W,C)
 
 
+class VideoFolderDataset:
+    """Story-folder clips with optional frame-order permutation by "degree"
+    (reference fvd/loader.py:43-122: degree k swaps k random frame pairs —
+    used for the FVD-vs-shuffle sensitivity study)."""
+
+    def __init__(self, folder: str, video_len: int = 5, imsize: int = 64,
+                 degree: int = 0, seed: int = 0):
+        from cpcsv_tpu.evaluation.datasets import FolderStoryDataset
+
+        self.inner = FolderStoryDataset(folder, video_len, imsize)
+        self.degree = degree
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.inner)
+
+    def __getitem__(self, item):
+        story = self.inner[item]
+        T = story.shape[0]
+        for _ in range(self.degree):
+            i, j = self.rng.integers(0, T, 2)
+            story[[i, j]] = story[[j, i]]
+        return story
+
+
 def default_embedder():
     from cpcsv_tpu.evaluation.r2plus1d import make_fsd_extractor
 

@@ -34,7 +34,15 @@ def dynamic_filter_conv1d(
     _, O, Cf, K = filters.shape
     assert Cf == C, (Cf, C)
     if use_pallas is None:
-        use_pallas = O == 1 and jax.default_backend() == "tpu"
+        import os
+
+        # opt-in until the Mosaic lane-slice lowering is validated on the
+        # deployment libtpu (see ops/pallas/dfn.py)
+        use_pallas = (
+            O == 1
+            and jax.default_backend() == "tpu"
+            and os.environ.get("CPCSV_USE_PALLAS", "0") == "1"
+        )
     if use_pallas and O == 1:
         from cpcsv_tpu.ops.pallas.dfn import dfn_pallas
 

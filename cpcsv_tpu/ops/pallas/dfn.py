@@ -23,13 +23,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _dfn_kernel(img_ref, filt_ref, out_ref, *, L: int, K: int):
     # img_ref: (TB, C, L + K - 1), filt_ref: (TB, C, K), out_ref: (TB, L)
-    img = img_ref[:]
-    filt = filt_ref[:]
+    # NB: slice the REFS per tap (unaligned lane slices of loaded values
+    # miscompile on some Mosaic versions; ref slices lower correctly).
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for k in range(K):  # K static taps, fused multiply-add on the VPU
         acc = acc + jnp.sum(
-            img[:, :, k : k + L].astype(jnp.float32)
-            * filt[:, :, k : k + 1].astype(jnp.float32),
+            img_ref[:, :, k : k + L].astype(jnp.float32)
+            * filt_ref[:, :, k : k + 1].astype(jnp.float32),
             axis=1,
         )
     out_ref[:] = acc.astype(out_ref.dtype)
@@ -48,18 +48,20 @@ def dfn_pallas(
     _, O, _, K = filters.shape
     assert O == 1, "pallas DFN kernel supports out_num=1"
     L_out = L + 2 * pad - K + 1
-    padded = jnp.pad(image, ((0, 0), (0, 0), (pad, pad)))
-    filt = filters[:, 0]  # (B, C, K)
+    # TPU tiling: the output block's sublane dim must be divisible by 8 —
+    # pad the batch up to a multiple of 8 (sliced off at the end).
+    Bp = -(-B // 8) * 8
+    padded = jnp.pad(image, ((0, Bp - B), (0, 0), (pad, pad)))
+    filt = jnp.pad(filters[:, 0], ((0, Bp - B), (0, 0), (0, 0)))  # (Bp, C, K)
 
-    TB = 8 if B % 8 == 0 else (B if B <= 16 else 1)
-    while B % TB:
-        TB //= 2
-    TB = max(TB, 1)
-    grid = (B // TB,)
+    TB = 8
+    while Bp % TB or (Bp // TB) > 1024:
+        TB *= 2
+    grid = (Bp // TB,)
 
     out = pl.pallas_call(
         functools.partial(_dfn_kernel, L=L_out, K=K),
-        out_shape=jax.ShapeDtypeStruct((B, L_out), image.dtype),
+        out_shape=jax.ShapeDtypeStruct((Bp, L_out), image.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -70,4 +72,4 @@ def dfn_pallas(
         out_specs=pl.BlockSpec((TB, L_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(padded, filt)
-    return out[:, None, :]
+    return out[:B, None, :]

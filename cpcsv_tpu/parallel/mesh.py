@@ -38,6 +38,14 @@ def make_mesh(mesh_shape: str = "", devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def mesh_size(mesh_shape: str = "") -> int:
+    """Device count the mesh will use — the reference's `num_gpu` factor
+    (main_pororo.py:64: global batch = per-device batch x num devices)."""
+    if mesh_shape:
+        return int(np.prod([int(kv.split(":")[1]) for kv in mesh_shape.split(",")]))
+    return len(jax.devices())
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 

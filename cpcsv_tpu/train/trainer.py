@@ -132,14 +132,23 @@ class GANTrainer:
                 cfg.TRAIN.DISCRIMINATOR_LR, epoch, cfg.TRAIN.LR_DECAY_EPOCH
             )
             stats = {}
+            from cpcsv_tpu.utils.profiling import maybe_trace, profile_env_dir
+
+            profile_dir = profile_env_dir() if epoch == start_epoch else None
             for i, st_batch_host in enumerate(storyloader):
                 im_batch_host = next(image_iter)
                 st_batch, im_batch = self._device_batches(st_batch_host, im_batch_host)
                 last_st_batch = (st_batch_host, st_batch)
 
                 rng, k_d, k_g = jax.random.split(rng, 3)
+                if profile_dir and i == 2:
+                    jax.profiler.start_trace(profile_dir)
                 state, d_metrics = self.d_step(state, k_d, st_batch, im_batch, lr_d)
                 state, g_metrics = self.g_step(state, k_g, st_batch, im_batch, lr_g)
+                if profile_dir and i == 5:
+                    jax.block_until_ready(state)
+                    jax.profiler.stop_trace()
+                    profile_dir = None
                 stats.update(d_metrics)
                 stats.update(g_metrics)
 

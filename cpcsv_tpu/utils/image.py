@@ -59,11 +59,16 @@ def save_story_results(
         gts = images_to_numpy(make_grid(np.stack(rows), 1))
         all_images = np.concatenate([all_images, gts], axis=1)
     if texts is not None:
+        # texts: list over batch of (list over frames of str) or plain strings
         with open(os.path.join(image_dir, f"fake_samples_{name}.txt"), "w") as fid:
-            for idx in range(videos.shape[0]):
+            for idx in range(min(videos.shape[0], len(texts))):
                 fid.write(f"{idx} {'-' * 40}\n")
-                for line in texts:
-                    fid.write(str(line[idx] if isinstance(line, (list, tuple)) else line) + "\n")
+                item = texts[idx]
+                if isinstance(item, (list, tuple)):
+                    for line in item:
+                        fid.write(str(line) + "\n")
+                else:
+                    fid.write(str(item) + "\n")
                 fid.write("\n\n")
     return all_images
 

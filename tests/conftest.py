@@ -1,23 +1,15 @@
-"""Force tests onto a virtual 8-device CPU mesh (no TPU needed) and enable
-the persistent compilation cache.
+"""Force tests onto a virtual 8-device CPU mesh (no TPU needed).
 
-NOTE: jax may already be imported at interpreter startup (site hook for the
-TPU tunnel plugin), so env vars alone are too late for jax config — use
-jax.config.update. JAX_PLATFORMS/XLA_FLAGS still work because backends
-initialize lazily on first device access.
+This environment pre-imports jax at interpreter startup (TPU-tunnel site
+hook, JAX_PLATFORMS=axon), so env vars are too late — the platform and
+device count must be forced through jax.config.update BEFORE the first
+backend use.
 """
 
-import os
+import jax
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -1,0 +1,94 @@
+"""End-to-end slice: CLI-level training on synthetic data for 1 epoch with a
+tiny model, checkpoint written, resume works, samples rendered. This is the
+config -> data -> G -> 3 Ds -> losses -> optim -> ckpt -> logging path."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from cpcsv_tpu.config import GanConfig, TrainConfig, CoeffConfig, default_config
+from cpcsv_tpu.data.loader import DataLoader
+from cpcsv_tpu.data.synthetic import SyntheticImageDataset, SyntheticStoryDataset
+from cpcsv_tpu.train.trainer import GANTrainer, lr_at_epoch
+
+
+def tiny_cfg(tmp, cascade=False):
+    return default_config().with_updates(
+        CONFIG_NAME="e2e_test",
+        CASCADE_MODEL=cascade,
+        SEGMENT_LEARNING=True,
+        GAN=GanConfig(CONDITION_DIM=124, Z_DIM=100, DF_DIM=8, GF_DIM=4, GF_SEG_DIM=16),
+        TRAIN=TrainConfig(
+            FLAG=True,
+            IM_BATCH_SIZE=8,
+            ST_BATCH_SIZE=8,
+            MAX_EPOCH=1,
+            SNAPSHOT_INTERVAL=1,
+            LR_DECAY_EPOCH=20,
+            DISCRIMINATOR_LR=4e-4,
+            GENERATOR_LR=1e-4,
+            SEGMENT_NAME="img_segment",
+            COEFF=CoeffConfig(KL=1.0),
+        ),
+    )
+
+
+def make_loaders(cfg, n=16):
+    story = SyntheticStoryDataset(n, cfg.VIDEO_LEN)
+    image = SyntheticImageDataset(n * 2, cfg.VIDEO_LEN, use_segment=True)
+    test = SyntheticStoryDataset(8, cfg.VIDEO_LEN, seed=9)
+    return (
+        DataLoader(image, cfg.TRAIN.IM_BATCH_SIZE, shuffle=True, drop_last=True),
+        DataLoader(story, cfg.TRAIN.ST_BATCH_SIZE, shuffle=True, drop_last=True),
+        DataLoader(test, cfg.TRAIN.ST_BATCH_SIZE, drop_last=True),
+    )
+
+
+def test_lr_schedule_matches_reference():
+    """halve at 20, interval doubles: next at 60 (20+40), then 140
+    (reference trainer.py:447-456: e%step==0 with step doubling)."""
+    base = 1e-4
+    assert lr_at_epoch(base, 0, 20) == base
+    assert lr_at_epoch(base, 19, 20) == base
+    assert lr_at_epoch(base, 20, 20) == base * 0.5
+    assert lr_at_epoch(base, 39, 20) == base * 0.5
+    assert lr_at_epoch(base, 40, 20) == base * 0.25
+    assert lr_at_epoch(base, 80, 20) == base * 0.125
+
+
+def test_train_one_epoch_and_resume(tmp_path):
+    cfg = tiny_cfg(tmp_path, cascade=False)
+    out_dir = str(tmp_path / "run")
+    imageloader, storyloader, testloader = make_loaders(cfg)
+
+    trainer = GANTrainer(cfg, out_dir, seed=0)
+    state = trainer.train(imageloader, storyloader, testloader)
+    assert int(state.step) == len(storyloader)
+
+    # checkpoints exist (netG per-snapshot + full state)
+    model_dir = os.path.join(out_dir, "Model")
+    names = os.listdir(model_dir)
+    assert any(n.startswith("netG_epoch_") for n in names)
+    assert "train_state_last" in names
+
+    # metrics were logged with the reference tag names
+    log_file = os.path.join(out_dir, "log", "metrics.jsonl")
+    tags = {json.loads(l)["tag"] for l in open(log_file)}
+    assert {"st_D/loss", "img_D/loss", "G/loss", "learning/generator"} <= tags
+
+    # epoch sample grid rendered
+    assert any(f.startswith("pororo") for f in os.listdir(os.path.join(out_dir, "log")))
+
+    # resume from epoch 1
+    trainer2 = GANTrainer(cfg, out_dir, continue_ckpt=1, seed=0)
+    cfg2 = cfg.with_updates(
+        TRAIN=cfg.TRAIN.__class__(**{**cfg.TRAIN.__dict__, "MAX_EPOCH": 2})
+    )
+    trainer2.cfg = cfg2
+    trainer2.max_epoch = 2
+    state2 = trainer2.train(imageloader, storyloader, testloader)
+    # restored step counter + one more epoch of steps
+    assert int(state2.step) == 2 * len(storyloader)
