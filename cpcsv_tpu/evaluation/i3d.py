@@ -1,0 +1,188 @@
+"""I3D (Inflated Inception-V1, Kinetics-400) in Flax — the FVD embedder.
+
+The reference computes FVD with the TF-Hub `i3d-kinetics-400` module inside
+a TF1 graph (reference `fvd/frechet_video_distance.py:36-136`). TensorFlow
+is not a dependency here, so the architecture is ported natively; weights
+load from a pytorch-i3d style state_dict (`load_torch_i3d_state_dict`,
+piergiaj/pytorch-i3d layout) supplied by the user. The embedding is the
+400-d logits output, matching the TF-Hub module's "default" signature that
+the reference feeds to `tfgan.eval.frechet_classifier_distance_from_activations`.
+
+Input: (N, T, H, W, 3) in [0, 1]; resized to 224 and rescaled to [-1, 1]
+(reference fvd/frechet_video_distance.py preprocess).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+class Unit3D(nn.Module):
+    features: int
+    kernel: tuple = (1, 1, 1)
+    stride: tuple = (1, 1, 1)
+    use_bn: bool = True
+    activation: bool = True
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features,
+            self.kernel,
+            strides=self.stride,
+            padding="SAME",
+            use_bias=self.use_bias,
+            name="conv3d",
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=True, epsilon=1e-3, momentum=0.99, name="bn"
+            )(x)
+        if self.activation:
+            x = nn.relu(x)
+        return x
+
+
+def _max_pool_3d(x, window, stride):
+    pads = []
+    for w, s, dim in zip(window, stride, x.shape[1:4]):
+        # TF SAME padding
+        out = -(-dim // s)
+        pad = max(0, (out - 1) * s + w - dim)
+        pads.append((pad // 2, pad - pad // 2))
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        (1, *window, 1),
+        (1, *stride, 1),
+        [(0, 0), *pads, (0, 0)],
+    )
+
+
+class InceptionBlock(nn.Module):
+    b0: int
+    b1: tuple  # (reduce, out)
+    b2: tuple
+    b3: int
+
+    @nn.compact
+    def __call__(self, x):
+        br0 = Unit3D(self.b0, name="b0")(x)
+        br1 = Unit3D(self.b1[0], name="b1a")(x)
+        br1 = Unit3D(self.b1[1], (3, 3, 3), name="b1b")(br1)
+        br2 = Unit3D(self.b2[0], name="b2a")(x)
+        br2 = Unit3D(self.b2[1], (3, 3, 3), name="b2b")(br2)
+        br3 = _max_pool_3d(x, (3, 3, 3), (1, 1, 1))
+        br3 = Unit3D(self.b3, name="b3b")(br3)
+        return jnp.concatenate([br0, br1, br2, br3], axis=-1)
+
+
+_BLOCKS = {
+    "Mixed_3b": (64, (96, 128), (16, 32), 32),
+    "Mixed_3c": (128, (128, 192), (32, 96), 64),
+    "Mixed_4b": (192, (96, 208), (16, 48), 64),
+    "Mixed_4c": (160, (112, 224), (24, 64), 64),
+    "Mixed_4d": (128, (128, 256), (24, 64), 64),
+    "Mixed_4e": (112, (144, 288), (32, 64), 64),
+    "Mixed_4f": (256, (160, 320), (32, 128), 128),
+    "Mixed_5b": (256, (160, 320), (32, 128), 128),
+    "Mixed_5c": (384, (192, 384), (48, 128), 128),
+}
+
+
+class I3D(nn.Module):
+    num_classes: int = 400
+    resize_input: bool = True
+    normalize_input: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.resize_input and (x.shape[2] != 224 or x.shape[3] != 224):
+            N, T = x.shape[0], x.shape[1]
+            x = jax.image.resize(x, (N, T, 224, 224, x.shape[4]), method="bilinear")
+        if self.normalize_input:
+            x = 2.0 * x - 1.0
+        x = Unit3D(64, (7, 7, 7), (2, 2, 2), name="Conv3d_1a_7x7")(x)
+        x = _max_pool_3d(x, (1, 3, 3), (1, 2, 2))
+        x = Unit3D(64, name="Conv3d_2b_1x1")(x)
+        x = Unit3D(192, (3, 3, 3), name="Conv3d_2c_3x3")(x)
+        x = _max_pool_3d(x, (1, 3, 3), (1, 2, 2))
+        x = InceptionBlock(*_BLOCKS["Mixed_3b"], name="Mixed_3b")(x)
+        x = InceptionBlock(*_BLOCKS["Mixed_3c"], name="Mixed_3c")(x)
+        x = _max_pool_3d(x, (3, 3, 3), (2, 2, 2))
+        for name in ("Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e", "Mixed_4f"):
+            x = InceptionBlock(*_BLOCKS[name], name=name)(x)
+        x = _max_pool_3d(x, (2, 2, 2), (2, 2, 2))
+        x = InceptionBlock(*_BLOCKS["Mixed_5b"], name="Mixed_5b")(x)
+        x = InceptionBlock(*_BLOCKS["Mixed_5c"], name="Mixed_5c")(x)
+        # logits head: global spatial avg pool (keep time), 1x1x1 conv, time-mean
+        x = x.mean(axis=(2, 3), keepdims=True)
+        x = Unit3D(
+            self.num_classes,
+            use_bn=False,
+            activation=False,
+            use_bias=True,
+            name="logits",
+        )(x)
+        return x.mean(axis=1).reshape(x.shape[0], -1)  # (N, 400)
+
+
+# --------------------------------------------------------------------------
+_TORCH_BRANCH = {"b0": "b0", "b1a": "b1a", "b1b": "b1b", "b2a": "b2a", "b2b": "b2b", "b3b": "b3b"}
+
+
+def load_torch_i3d_state_dict(sd) -> dict:
+    """Convert a piergiaj/pytorch-i3d `InceptionI3d` state_dict. Its Unit3D
+    paths look like `Mixed_3b.b0.conv3d.weight` / `...bn.{weight,bias,
+    running_mean,running_var}` and stem layers `Conv3d_1a_7x7.conv3d.weight`;
+    the logits unit is `logits.conv3d.{weight,bias}`."""
+    params: dict = {}
+    stats: dict = {}
+
+    def arr(t):
+        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+    def put(tree, path, leaf):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = leaf
+
+    for key, t in sd.items():
+        parts = key.split(".")
+        if parts[-2] == "conv3d" and parts[-1] == "weight":
+            put(params, parts[:-1] + ["kernel"], arr(t).transpose(2, 3, 4, 1, 0))
+        elif parts[-2] == "conv3d" and parts[-1] == "bias":
+            put(params, parts[:-1] + ["bias"], arr(t))
+        elif parts[-2] == "bn":
+            m = {"weight": ("params", "scale"), "bias": ("params", "bias"),
+                 "running_mean": ("stats", "mean"), "running_var": ("stats", "var")}
+            if parts[-1] in m:
+                kind, name = m[parts[-1]]
+                put(params if kind == "params" else stats, parts[:-1] + [name], arr(t))
+    return {"params": params, "batch_stats": stats}
+
+
+def make_i3d_embedder(weights_path: str | None = None):
+    model = I3D()
+    if weights_path:
+        import torch
+
+        sd = torch.load(weights_path, map_location="cpu")
+        variables = load_torch_i3d_state_dict(sd)
+    else:
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 64, 64, 3)))
+
+    @jax.jit
+    def embed(x):
+        # x arrives in [-1,1] from the folder datasets; shift to [0,1]
+        return model.apply(variables, (x + 1.0) / 2.0)
+
+    return embed

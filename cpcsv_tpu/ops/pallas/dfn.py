@@ -9,6 +9,17 @@ VMEM, K shifted fused-multiply-adds on the VPU.
 
 Layout: image arrives pre-padded (B, C, L+2*pad); filters (B, C, K);
 output (B, L). Batch is tiled over the grid. All shapes are static.
+
+STATUS — opt-in (CPCSV_USE_PALLAS=1): on the current deployment libtpu
+(v5e, remote Mosaic compile), the scalar-extract-and-splat pattern
+`f_ref[:, :, k:k+1]` broadcast against a shifted slice miscompiles for
+lane offsets >= ~8 (verified against host numpy 2026-08-16: single-tap
+k=3 exact, k=12/20 wrong; three structurally different kernel variants
+produce identical wrong sums while the XLA einsum matches numpy exactly).
+Interpret mode (tests) is correct. The XLA einsum path is the production
+default — at (B=90, C=3, K=21, L=124) this op is ~1.4 MFLOP/step and is
+fully fused by XLA, so the kernel is kept for documentation/future libtpu
+versions, not perf.
 """
 
 from __future__ import annotations
