@@ -92,6 +92,15 @@ class StoryGANDataset:
         self.rng = rng
         self._cache: dict[int, np.ndarray] = {}
 
+        @jax.jit
+        def _gen(variables, motion, content, key):
+            return net_g.apply(
+                variables, motion, content, False, False,
+                method="sample_videos", rngs={"noise": key},
+            ).image
+
+        self._gen_jit = _gen
+
     def __len__(self):
         return len(self.ds)
 
@@ -107,16 +116,9 @@ class StoryGANDataset:
         motion = jnp.asarray(np.stack(motions))
         content = jnp.asarray(np.stack(contents))
         key = jax.random.fold_in(self.rng, start)
-        out = self.net_g.apply(
-            self.variables,
-            motion,
-            content,
-            False,
-            False,  # eval mode
-            method="sample_videos",
-            rngs={"noise": key},
+        fake = np.asarray(
+            self._gen_jit(self.variables, motion, content, key), np.float32
         )
-        fake = np.asarray(out.image, np.float32)
         for j, i in enumerate(idxs):
             self._cache[i] = fake[j]
 

@@ -74,8 +74,26 @@ class Infer:
         # template for orbax restore
         self._template = create_train_state(cfg, jax.random.PRNGKey(0), self.models)
         self._gen_vars = None
+        self._sample_jit = {}
         if load_ckpt is not None:
             self.load_epoch(int(load_ckpt))
+
+    def _sampler(self, seg: bool):
+        """Jitted eval-mode sample_videos (cached per seg flag; jit caches
+        per input shape)."""
+        if seg not in self._sample_jit:
+            net_g = self.net_g
+
+            @jax.jit
+            def fn(variables, motion, content, key):
+                out = net_g.apply(
+                    variables, motion, content, seg, False,
+                    method="sample_videos", rngs={"noise": key},
+                )
+                return out.image, out.seg
+
+            self._sample_jit[seg] = fn
+        return self._sample_jit[seg]
 
     # ------------------------------------------------------------------
     def load_epoch(self, epoch: int):
@@ -96,18 +114,8 @@ class Infer:
         cfg = self.cfg
         motion, content = _batch_motion_content(cfg, batch)
         self.rng, key = jax.random.split(self.rng)
-        out = self.net_g.apply(
-            self._gen_vars,
-            motion,
-            content,
-            seg,
-            False,
-            method="sample_videos",
-            rngs={"noise": key},
-        )
-        return np.asarray(out.image), (
-            np.asarray(out.seg) if out.seg is not None else None
-        )
+        image, mask = self._sampler(seg)(self._gen_vars, motion, content, key)
+        return np.asarray(image), (np.asarray(mask) if mask is not None else None)
 
     # ------------------------------------------------------------------
     def generate_story(self, storyloader, dirname: str = ""):

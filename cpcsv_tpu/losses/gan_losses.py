@@ -86,7 +86,12 @@ def discriminator_loss(
       fake_logits  = D.cond(D(fake), cond)
     """
     err_real = bce_with_logits(real_logits, jnp.ones_like(real_logits))
-    err_wrong = bce_with_logits(wrong_logits, jnp.zeros_like(wrong_logits))
+    # wrong-pair set is empty at batch==1 (shape is static, so guard in python)
+    err_wrong = (
+        bce_with_logits(wrong_logits, jnp.zeros_like(wrong_logits))
+        if wrong_logits.size > 0
+        else jnp.zeros(())
+    )
     err_fake = bce_with_logits(fake_logits, jnp.zeros_like(fake_logits))
     total = err_real + 0.5 * (err_fake + err_wrong)
 

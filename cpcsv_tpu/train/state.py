@@ -10,6 +10,7 @@ scalar argument to the jitted step — no re-jit on LR change.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional
 
 import jax
@@ -83,20 +84,27 @@ def create_train_state(
     k_g, k_n, k_im, k_st, k_se = jax.random.split(rng, 5)
     motion = jnp.zeros((2, T, motion_dim))
     content = jnp.zeros((2, T, cfg.TEXT.DIMENSION))
-    g_vars = net_g.init({"params": k_g, "noise": k_n}, motion, content)
+    # jit the inits: one compiled program instead of op-by-op dispatch
+    g_vars = jax.jit(net_g.init)({"params": k_g, "noise": k_n}, motion, content)
 
     imgs = jnp.zeros((2, cfg.IMSIZE, cfg.IMSIZE, 3))
     cond = jnp.zeros((2, cond_dim))
-    im_vars = d_im.init(k_im, imgs, cond, method="full_forward")
+    im_vars = jax.jit(functools.partial(d_im.init, method="full_forward"))(
+        k_im, imgs, cond
+    )
 
     story = jnp.zeros((2, T, cfg.IMSIZE, cfg.IMSIZE, 3))
-    st_vars = d_st.init(k_st, story, cond, method="full_forward")
+    st_vars = jax.jit(functools.partial(d_st.init, method="full_forward"))(
+        k_st, story, cond
+    )
 
     tx = make_adam()
     d_se_state = None
     if d_se is not None:
         masks = jnp.zeros((2, cfg.SESIZE, cfg.SESIZE, 1))
-        se_vars = d_se.init(k_se, masks, cond, method="full_forward")
+        se_vars = jax.jit(functools.partial(d_se.init, method="full_forward"))(
+            k_se, masks, cond
+        )
         d_se_state = NetState.create(se_vars, tx)
 
     return TrainState(

@@ -192,18 +192,26 @@ class GANTrainer:
     def _log_epoch_samples(self, state: TrainState, epoch, st_batch_host, st_batch, rng):
         cfg = self.cfg
         net_g = self.models[0]
+        if not hasattr(self, "_sample_jit"):
+            @jax.jit
+            def _sample(variables, motion, content, key):
+                o = net_g.apply(
+                    variables, motion, content, cfg.SEGMENT_LEARNING, False,
+                    method="sample_videos", rngs={"noise": key},
+                )
+                return o.image, o.seg
+
+            self._sample_jit = _sample
         st_motion = np.concatenate(
             [st_batch_host["description"], st_batch_host["labels"]], axis=2
         )
-        out = net_g.apply(
+        image, seg = self._sample_jit(
             state.gen.variables(),
             jax.numpy.asarray(st_motion),
             jax.numpy.asarray(st_batch_host["description"]),
-            cfg.SEGMENT_LEARNING,
-            False,  # eval mode for sampling
-            method="sample_videos",
-            rngs={"noise": rng},
+            rng,
         )
+        out = type("O", (), {"image": image, "seg": seg})
         fake = np.asarray(out.image)
         grid = save_story_results(
             st_batch_host["images"], fake, st_batch_host.get("text"),
