@@ -35,25 +35,43 @@ def make_batchnorm(dtype=None, name: str | None = None) -> nn.BatchNorm:
 
 
 class Conv3x3(nn.Module):
-    """3x3 conv, stride 1, SAME padding, no bias (reference conv3x3)."""
+    """3x3 conv, stride 1, SAME padding, no bias (reference conv3x3).
+
+    `fuse_upsample2x=True` computes conv3x3(nearest_upsample_2x(x)) via the
+    parity decomposition (ops/fused_upsample.py): 2.25x fewer MACs and the
+    2x-upsampled activation never hits HBM."""
 
     features: int
     stride: int = 1
     use_bias: bool = False
     dtype: Any = None
+    fuse_upsample2x: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.Conv(
-            self.features,
-            (3, 3),
-            strides=(self.stride, self.stride),
-            padding="SAME",
-            use_bias=self.use_bias,
-            kernel_init=normal_kernel_init,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", normal_kernel_init, (3, 3, in_features, self.features), jnp.float32
+        )
+        k = kernel.astype(self.dtype) if self.dtype else kernel
+        xc = x.astype(self.dtype) if self.dtype else x
+        if self.fuse_upsample2x:
+            assert self.stride == 1
+            from cpcsv_tpu.ops.fused_upsample import upsample2x_conv3x3
+
+            y = upsample2x_conv3x3(xc, k)
+        else:
+            y = jax.lax.conv_general_dilated(
+                xc,
+                k,
+                window_strides=(self.stride, self.stride),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + (bias.astype(self.dtype) if self.dtype else bias)
+        return y
 
 
 class Conv4x4s2(nn.Module):
@@ -90,15 +108,22 @@ def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class UpBlock(nn.Module):
-    """nearest-2x upsample -> conv3x3 -> BN -> ReLU (reference upBlock)."""
+    """nearest-2x upsample -> conv3x3 -> BN -> ReLU (reference upBlock),
+    computed as one fused parity-decomposed conv (no 2x tensor in HBM)."""
 
     features: int
     dtype: Any = None
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        x = nearest_upsample_2x(x)
-        x = Conv3x3(self.features, dtype=self.dtype, name="conv")(x)
+        if self.fused:
+            x = Conv3x3(
+                self.features, dtype=self.dtype, fuse_upsample2x=True, name="conv"
+            )(x)
+        else:
+            x = nearest_upsample_2x(x)
+            x = Conv3x3(self.features, dtype=self.dtype, name="conv")(x)
         x = make_batchnorm(dtype=self.dtype, name="bn")(x, use_running_average=not train)
         return nn.relu(x)
 

@@ -76,23 +76,23 @@ def port_generator_state_dict(
 
     for i in (1, 2, 3, 4):
         # torch upBlock Sequential: 0=Upsample, 1=conv, 2=BN
-        _conv(params, sd, f"upsample{i}.1.weight", [f"upsample{i}", "conv", "conv"])
+        _conv(params, sd, f"upsample{i}.1.weight", [f"upsample{i}", "conv"])
         _bn(params, stats, sd, f"upsample{i}.2", [f"upsample{i}", "bn"])
-    _conv(params, sd, "img.0.weight", ["img", "conv"])
+    _conv(params, sd, "img.0.weight", ["img"])
 
     if use_segment:
         _dense(params, stats, sd, "fc_seg", ["fc_seg"], bias=False)
         for i in (1, 2, 3, 4):
             _conv(
                 params, sd, f"upsample{i}_seg.1.weight",
-                [f"upsample{i}_seg", "conv", "conv"],
+                [f"upsample{i}_seg", "conv"],
             )
             _bn(params, stats, sd, f"upsample{i}_seg.2", [f"upsample{i}_seg", "bn"])
-        _conv(params, sd, "img_seg.0.weight", ["img_seg", "conv"])
-        _conv(params, sd, "seg_c.weight", ["seg_c", "conv"])
-        _conv(params, sd, "seg_c1.weight", ["seg_c1", "conv"])
+        _conv(params, sd, "img_seg.0.weight", ["img_seg"])
+        _conv(params, sd, "seg_c.weight", ["seg_c"])
+        _conv(params, sd, "seg_c1.weight", ["seg_c1"])
         if cascade:
-            _conv(params, sd, "presample.0.weight", ["presample_conv", "conv"])
+            _conv(params, sd, "presample.0.weight", ["presample_conv"])
             _bn(params, stats, sd, "presample.1", ["presample_bn"])
             for i in (1, 2, 3, 4):
                 # torch downBlock: 0=conv (with bias), 1=BN
