@@ -67,6 +67,9 @@ def main():
 
     key = jax.random.PRNGKey(1)
 
+    # NOTE: a lax.scan over steps (whole TrainState as carry) measured 20x
+    # SLOWER on v5e — the ~1.8GB params+Adam carry defeats XLA's in-place
+    # update; donated per-step dispatch is the fast (and production) path.
     def one_step(state, key):
         k1, k2 = jax.random.split(key)
         state, _ = d_step(state, k1, st_batch, im_batch, 4e-4)

@@ -84,7 +84,13 @@ class VideoFolderDataset:
         return story
 
 
-def default_embedder():
+def default_embedder(i3d_weights: str | None = None):
+    """True I3D FVD when a ported Kinetics-400 I3D weight file is given
+    (evaluation/i3d.py); otherwise the R(2+1)D backbone ("FVD-R")."""
+    if i3d_weights:
+        from cpcsv_tpu.evaluation.i3d import make_i3d_embedder
+
+        return make_i3d_embedder(i3d_weights)
     from cpcsv_tpu.evaluation.r2plus1d import make_fsd_extractor
 
     return make_fsd_extractor()

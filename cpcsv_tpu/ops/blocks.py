@@ -113,7 +113,10 @@ class UpBlock(nn.Module):
 
     features: int
     dtype: Any = None
-    fused: bool = True
+    # fused parity-decomposition measured SLOWER on v5e (22.1k vs 35.9k
+    # frames/s full train step): 4 small convs + interleave lose to one
+    # large conv the MXU tiles well. Kept as an option; default off.
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:

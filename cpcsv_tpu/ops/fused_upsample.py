@@ -12,7 +12,14 @@ the ORIGINAL grid with weights that are sums of the 3x3 taps:
 
 FLOPs: 4HW·4·Cin·Cout — a 2.25x reduction — and the upsampled activation is
 never written to HBM. Pure XLA (conv_general_dilated x4 + interleave), fully
-differentiable, MXU-friendly; no Pallas needed for this one.
+differentiable.
+
+MEASURED on v5e (2026-08-16, full cascade train step, bf16): 22.1k frames/s
+fused vs 35.9k frames/s naive — the four half-size convs + the interleave
+transpose UNDER-utilize the MXU relative to one large conv whose upsampled
+input XLA streams efficiently. Conclusion: FLOP count lost to MXU tiling;
+kept as an option (`UpBlock(fused=True)`) and a documented experiment, not
+the default.
 
 Derivation (rows; cols symmetric). y = 2h+py, source row of tap dy is
 (y+dy)//2:

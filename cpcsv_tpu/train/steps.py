@@ -94,8 +94,9 @@ def _sample_all(cfg: Config, net_g, gen_vars, rng, st_batch, im_batch, want_late
     return st_out, im_out, gen_vars
 
 
-def make_train_steps(cfg: Config, models):
-    """Returns (d_step, g_step), both jitted.
+def make_train_steps(cfg: Config, models, jit: bool = True):
+    """Returns (d_step, g_step), jitted unless jit=False (raw pure fns for
+    composition, e.g. scanning many steps inside one program).
 
     d_step(state, rng, st_batch, im_batch, lr_d) -> (state, metrics)
     g_step(state, rng, st_batch, im_batch, lr_g) -> (state, metrics)
@@ -368,6 +369,9 @@ def make_train_steps(cfg: Config, models):
         state = state.replace(step=state.step + 1)
         return state, metrics
 
-    d_step_jit = jax.jit(d_step)
-    g_step_jit = jax.jit(g_step)
+    if not jit:
+        return d_step, g_step
+    # donate the state: params/opt-state buffers are updated in place in HBM
+    d_step_jit = jax.jit(d_step, donate_argnums=(0,))
+    g_step_jit = jax.jit(g_step, donate_argnums=(0,))
     return d_step_jit, g_step_jit

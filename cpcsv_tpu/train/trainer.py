@@ -113,7 +113,14 @@ class GANTrainer:
         state = create_train_state(cfg, rng, self.models)
 
         start_epoch = 0
-        if self.continue_ckpt:
+        if self.continue_ckpt == "auto":
+            # crash-resume: pick up from the last saved full state
+            last = self.ckpt.last_epoch()
+            if last is not None:
+                state = self.ckpt.restore(state)
+                start_epoch = last
+                print(f"Auto-resume from epoch {start_epoch}")
+        elif self.continue_ckpt:
             state = self.ckpt.restore(state, epoch=int(self.continue_ckpt))
             start_epoch = int(self.continue_ckpt)
             print(f"Continue training from epoch {start_epoch}")
