@@ -53,17 +53,23 @@ def main(argv=None):
 
     if args.synthetic:
         from cpcsv_tpu.data.synthetic import SyntheticImageDataset, SyntheticStoryDataset
+        from cpcsv_tpu.parallel.mesh import mesh_size
 
-        story = SyntheticStoryDataset(args.synthetic, cfg.VIDEO_LEN, cfg.IMSIZE,
+        n_dev = mesh_size(cfg.MESH_SHAPE)
+        im_bs = cfg.TRAIN.IM_BATCH_SIZE * n_dev
+        st_bs = cfg.TRAIN.ST_BATCH_SIZE * n_dev
+        n_st = max(args.synthetic, st_bs)
+        n_im = max(args.synthetic * 2, im_bs)
+        story = SyntheticStoryDataset(n_st, cfg.VIDEO_LEN, cfg.IMSIZE,
                                       cfg.TEXT.DIMENSION, cfg.LABEL_NUM)
-        image = SyntheticImageDataset(args.synthetic, cfg.VIDEO_LEN, cfg.IMSIZE,
+        image = SyntheticImageDataset(n_im, cfg.VIDEO_LEN, cfg.IMSIZE,
                                       cfg.SESIZE, cfg.TEXT.DIMENSION, cfg.LABEL_NUM,
                                       use_segment=cfg.SEGMENT_LEARNING)
-        test = SyntheticStoryDataset(max(args.synthetic // 4, 4), cfg.VIDEO_LEN,
+        test = SyntheticStoryDataset(max(args.synthetic // 4, st_bs), cfg.VIDEO_LEN,
                                      cfg.IMSIZE, cfg.TEXT.DIMENSION, cfg.LABEL_NUM, seed=99)
-        imageloader = DataLoader(image, cfg.TRAIN.IM_BATCH_SIZE, shuffle=True, drop_last=True)
-        storyloader = DataLoader(story, cfg.TRAIN.ST_BATCH_SIZE, shuffle=True, drop_last=True)
-        testloader = DataLoader(test, cfg.TRAIN.ST_BATCH_SIZE, shuffle=False, drop_last=True)
+        imageloader = DataLoader(image, im_bs, shuffle=True, drop_last=True)
+        storyloader = DataLoader(story, st_bs, shuffle=True, drop_last=True)
+        testloader = DataLoader(test, st_bs, shuffle=False, drop_last=True)
     else:
         from cpcsv_tpu.data.pororo import build_pororo_loaders
 

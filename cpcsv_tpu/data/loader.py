@@ -93,6 +93,11 @@ class WrapAroundIterator:
     story loader and restarted when exhausted)."""
 
     def __init__(self, loader: DataLoader):
+        if len(loader) == 0:
+            raise ValueError(
+                "loader yields no batches: dataset smaller than one batch "
+                f"(len(dataset)={len(loader.dataset)}, batch={loader.batch_size})"
+            )
         self.loader = loader
         self._it = iter(loader)
 

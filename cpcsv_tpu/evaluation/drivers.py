@@ -149,7 +149,8 @@ class Infer:
         return save_path, ref_dir
 
     # ------------------------------------------------------------------
-    def eval_fid2(self, testloader, epochs: Optional[list[int]] = None):
+    def eval_fid2(self, testloader, epochs: Optional[list[int]] = None,
+                  batch_size: int = 50):
         """Regenerate + folder FID/FSD per checkpoint, newest first
         (reference inference.py:201-230). Appends to fid_score2.csv."""
         cfg = self.cfg
@@ -162,11 +163,13 @@ class Infer:
             fsd = fsd_score(
                 FolderStoryDataset(orig_dir, cfg.VIDEO_LEN, cfg.IMSIZE),
                 FolderStoryDataset(gen_dir, cfg.VIDEO_LEN, cfg.IMSIZE),
+                batch_size=min(batch_size, len(os.listdir(orig_dir))),
                 weights_path=self.fsd_weights,
             )
             fid = fid_score(
                 FolderImageDataset(orig_dir, cfg.IMSIZE),
                 FolderImageDataset(gen_dir, cfg.IMSIZE),
+                batch_size=min(batch_size, len(os.listdir(orig_dir)) * cfg.VIDEO_LEN),
                 normalize=True,
                 weights_path=self.fid_weights,
             )
