@@ -86,9 +86,14 @@ class VideoFolderDataset:
                     entries.append(join(full, f))
         for img_path in entries:
             v_name = img_path.replace(folder, "")
-            frame_id = int(os.path.basename(v_name).replace(".png", ""))
             episode = re.sub(r"[0-9]+.png", "", v_name)
-            if counter is None or frame_id > counter.get(episode, 0) - min_len:
+            if counter is None or episode not in counter:
+                continue  # non-episode dirs (e.g. img_segment/) are skipped
+            try:
+                frame_id = int(os.path.basename(v_name).replace(".png", ""))
+            except ValueError:
+                continue
+            if frame_id > counter[episode] - min_len:
                 continue
             followings.append([episode + str(frame_id + i + 1) + ".png" for i in range(min_len)])
             images.append(v_name)
