@@ -234,6 +234,36 @@ def load_torch_inception_state_dict(state_dict) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def make_inception_classifier(weights_path: str | None = None, num_classes: int = 1008):
+    """pool3 features + the checkpoint's fc head -> logits (for the
+    Inception Score, reference fid/inception_score.py). The FID weight file
+    carries a 1008-way fc (mseitzer pt_inception head)."""
+    model = InceptionV3FID()
+    fc_w = fc_b = None
+    if weights_path:
+        import torch
+
+        sd = torch.load(weights_path, map_location="cpu")
+        variables = load_torch_inception_state_dict(sd)
+        if "fc.weight" in sd:
+            fc_w = np.asarray(sd["fc.weight"]).T  # (2048, C)
+            fc_b = np.asarray(sd["fc.bias"])
+    else:
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    if fc_w is None:
+        rng = np.random.default_rng(0)
+        fc_w = (rng.standard_normal((2048, num_classes)) * 0.02).astype(np.float32)
+        fc_b = np.zeros((num_classes,), np.float32)
+    fc_w, fc_b = jnp.asarray(fc_w), jnp.asarray(fc_b)
+
+    @jax.jit
+    def classify(x):
+        feats = model.apply(variables, x)
+        return feats @ fc_w + fc_b
+
+    return classify
+
+
 def make_inception_extractor(weights_path: str | None = None, batch_size: int = 64):
     """Returns a jitted fn images(N,H,W,3 in [0,1]) -> (N, 2048) features."""
     model = InceptionV3FID()
