@@ -216,6 +216,20 @@ class Infer:
         np.save(os.path.join(save_path, "images.npy"), np.concatenate(save_images, 0))
         np.save(os.path.join(save_path, "labels.npy"), np.concatenate(save_labels, 0))
 
+    def inference(self, imageloader=None, storyloader=None, testloader=None,
+                  stage: int = 1):
+        """Reference Infer.inference surface (inference.py:91-145): dump
+        generated samples for the loaded checkpoint."""
+        loader = testloader or storyloader
+        return self.inference_samples(
+            loader, os.path.join(self.eval_dir, "samples")
+        )
+
+    # reference inference.py:114-126 walks epochs with the same math as
+    # eval_fid2; keep the name as an alias
+    def eval_fid(self, testloader, epochs=None, batch_size: int = 50):
+        return self.eval_fid2(testloader, epochs=epochs, batch_size=batch_size)
+
     def eval_ssim(self, testdataset, n: Optional[int] = None):
         ds = StoryGANSSIMDataset(
             self.net_g, self._gen_vars, testdataset, self.rng,
