@@ -156,6 +156,9 @@ class GANTrainer:
                     jax.block_until_ready(state)
                     jax.profiler.stop_trace()
                     profile_dir = None
+                # one device->host transfer for all scalars (not one per tag)
+                d_metrics = jax.device_get(d_metrics)
+                g_metrics = jax.device_get(g_metrics)
                 stats.update(d_metrics)
                 stats.update(g_metrics)
 
