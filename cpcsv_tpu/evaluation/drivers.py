@@ -248,12 +248,15 @@ def evaluate_fid_fsd_in_memory(cfg, net_g, gen_vars, testloader, rng,
     testdataset = testloader.dataset
     gen_ds = StoryGANDataset(net_g, gen_vars, testdataset, rng, cfg.TEXT.DIMENSION)
     real_ds = IgnoreLabelDataset(testdataset)
+    bs = min(50, len(testdataset))
     fsd = fsd_score(
-        real_ds, gen_ds, r_cache=".cache/seg_story_vfid_reference_score.npz",
+        real_ds, gen_ds, batch_size=bs,
+        r_cache=".cache/seg_story_vfid_reference_score.npz",
         weights_path=fsd_weights,
     )
     fid = fid_score(
-        real_ds, gen_ds, normalize=True,
+        real_ds, gen_ds, batch_size=min(50, len(testdataset) * cfg.VIDEO_LEN),
+        normalize=True,
         r_cache=".cache/seg_story_fid_reference_score.npz",
         weights_path=fid_weights,
     )

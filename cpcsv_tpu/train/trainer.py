@@ -112,6 +112,17 @@ class GANTrainer:
         rng = jax.random.PRNGKey(self.seed)
         state = create_train_state(cfg, rng, self.models)
 
+        if cfg.NET_G:
+            # warm-start generator params from a checkpoint dir (reference
+            # trainer.py:109-114 NET_G preload)
+            import orbax.checkpoint as ocp
+
+            g_params = ocp.PyTreeCheckpointer().restore(
+                os.path.abspath(cfg.NET_G), item=state.gen.params
+            )
+            state = state.replace(gen=state.gen.replace(params=g_params))
+            print("Load netG from:", cfg.NET_G)
+
         start_epoch = 0
         if self.continue_ckpt == "auto":
             # crash-resume: pick up from the last saved full state
@@ -139,12 +150,24 @@ class GANTrainer:
                 cfg.TRAIN.DISCRIMINATOR_LR, epoch, cfg.TRAIN.LR_DECAY_EPOCH
             )
             stats = {}
-            from cpcsv_tpu.utils.profiling import maybe_trace, profile_env_dir
+            from cpcsv_tpu.data.prefetch import device_prefetch
+            from cpcsv_tpu.utils.profiling import profile_env_dir
 
             profile_dir = profile_env_dir() if epoch == start_epoch else None
-            for i, st_batch_host in enumerate(storyloader):
-                im_batch_host = next(image_iter)
-                st_batch, im_batch = self._device_batches(st_batch_host, im_batch_host)
+
+            def paired_batches():
+                for st_host in storyloader:
+                    yield st_host, next(image_iter)
+
+            def put(pair):
+                st_host, im_host = pair
+                st_dev, im_dev = self._device_batches(st_host, im_host)
+                return st_host, st_dev, im_dev
+
+            # host decode + H2D transfer overlap the previous device step
+            for i, (st_batch_host, st_batch, im_batch) in enumerate(
+                device_prefetch(paired_batches(), put, depth=2)
+            ):
                 last_st_batch = (st_batch_host, st_batch)
 
                 rng, k_d, k_g = jax.random.split(rng, 3)
@@ -233,6 +256,20 @@ class GANTrainer:
             self.logger.add_image("segment", seg_grid, epoch)
 
     # ------------------------------------------------------------------
+    def calculate_ssim(self, state: TrainState, epoch: int, testloader):
+        """In-training SSIM hook (reference trainer.py:176-185; its call is
+        commented out at :472 — available here, invoked on demand)."""
+        from cpcsv_tpu.evaluation.datasets import StoryGANSSIMDataset
+        from cpcsv_tpu.evaluation.ssim import ssim_score
+
+        ds = StoryGANSSIMDataset(
+            self.models[0], state.gen.variables(), testloader.dataset,
+            jax.random.PRNGKey(5678 + epoch), text_dim=self.cfg.TEXT.DIMENSION,
+        )
+        value = ssim_score(ds[i] for i in range(len(ds)))
+        self.logger.add_scalar("Evaluation/ssim", value, epoch)
+        return value
+
     def calculate_vfid(self, state: TrainState, epoch: int, testloader):
         """In-training FID/FSD hook (reference trainer.py:160-174)."""
         from cpcsv_tpu.evaluation.drivers import evaluate_fid_fsd_in_memory

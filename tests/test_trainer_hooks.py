@@ -1,0 +1,36 @@
+"""Trainer hook tests: in-training SSIM + FID/FSD eval hooks on a tiny run
+(reference trainer.py:160-185), NET_G warm start."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from tests.test_e2e_training import make_loaders, tiny_cfg
+
+
+def test_ssim_and_vfid_hooks(tmp_path):
+    from cpcsv_tpu.train.trainer import GANTrainer
+    from cpcsv_tpu.train import create_train_state
+
+    cfg = tiny_cfg(tmp_path, cascade=False)
+    out_dir = str(tmp_path / "run")
+    loaders = make_loaders(cfg)
+    trainer = GANTrainer(cfg, out_dir, seed=0)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), trainer.models)
+
+    ssim = trainer.calculate_ssim(state, 0, loaders[2])
+    assert -1.0 <= ssim <= 1.0
+
+    os.makedirs(".cache", exist_ok=True)
+    for f in (
+        ".cache/seg_story_vfid_reference_score.npz",
+        ".cache/seg_story_fid_reference_score.npz",
+    ):
+        if os.path.exists(f):
+            os.remove(f)
+    scores = trainer.calculate_vfid(state, 0, loaders[2])
+    assert np.isfinite(scores["fid"]) and np.isfinite(scores["fsd"])
+    # real-side statistics are cached like the reference (trainer.py:165-169)
+    assert os.path.exists(".cache/seg_story_vfid_reference_score.npz")
