@@ -209,8 +209,6 @@ class Infer:
             grid = save_story_results(
                 real, fake, batch.get("text"), f"{i:03d}", save_path
             )
-            from cpcsv_tpu.utils.image import images_to_numpy  # noqa: F401
-
             save_images.append(fake)
             save_labels.append(np.asarray(batch["labels"], np.float32))
         np.save(os.path.join(save_path, "images.npy"), np.concatenate(save_images, 0))

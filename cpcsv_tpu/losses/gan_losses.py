@@ -18,7 +18,7 @@ pure and differentiable; discriminator/generator choose what to stop-grad.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -29,15 +29,11 @@ train-mode semantics.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional
-
 import jax
 import jax.numpy as jnp
 
 from cpcsv_tpu.config import Config
 from cpcsv_tpu.losses.gan_losses import (
-    DLossOut,
     GLossOut,
     discriminator_loss,
     generator_loss,

@@ -210,9 +210,15 @@ class GANTrainer:
 
             epoch_time = time.time() - start_t
             total_mins = int((time.time() - c_time) / 60)
+            frames_per_step = (
+                cfg.TRAIN.ST_BATCH_SIZE * cfg.VIDEO_LEN + cfg.TRAIN.IM_BATCH_SIZE
+            )
+            fps = num_step * frames_per_step / max(epoch_time, 1e-9)
+            self.logger.add_scalar("perf/frames_per_sec", fps, epoch)
+            self.logger.add_scalar("perf/epoch_seconds", epoch_time, epoch)
             print(
-                f"----[{epoch}/{self.max_epoch}] epoch time {epoch_time:.1f}s, "
-                f"total {total_mins} mins----"
+                f"----[{epoch}/{self.max_epoch}] epoch time {epoch_time:.1f}s "
+                f"({fps:.0f} frames/s), total {total_mins} mins----"
             )
 
             if epoch % self.snapshot_interval == 0:
