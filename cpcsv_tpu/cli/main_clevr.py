@@ -18,6 +18,9 @@ def parse_args(argv=None):
     parser.add_argument("--data_dir", dest="data_dir", type=str, default="")
     parser.add_argument("--eval_fid", type=bool, default=False)
     parser.add_argument("--manualSeed", type=int, default=0)
+    parser.add_argument("--synthetic", type=int, default=0,
+                        help="train on N synthetic samples instead of DATA_DIR")
+    parser.add_argument("--max_epoch", type=int, default=None)
     return parser.parse_args(argv)
 
 
@@ -30,17 +33,37 @@ def main(argv=None):
     cfg = config_from_file(args.cfg_file)
     if args.data_dir:
         cfg = cfg.with_updates(DATA_DIR=args.data_dir)
+    if args.max_epoch is not None:
+        cfg = cfg.with_updates(
+            TRAIN=cfg.TRAIN.__class__(**{**cfg.TRAIN.__dict__, "MAX_EPOCH": args.max_epoch})
+        )
     print("Using config:")
     pprint.pprint(cfg)
     output_dir = "./output/debug" if args.debug else f"./output/{cfg.CONFIG_NAME}"
 
-    story = ClevrStoryDataset(cfg.DATA_DIR, "train", cfg.VIDEO_LEN, cfg.IMSIZE)
-    image = ClevrImageDataset(cfg.DATA_DIR, "train", cfg.VIDEO_LEN, cfg.IMSIZE,
-                              cfg.SESIZE, use_segment=cfg.SEGMENT_LEARNING)
-    test = ClevrStoryDataset(cfg.DATA_DIR, "test", cfg.VIDEO_LEN, cfg.IMSIZE)
-    imageloader = DataLoader(image, cfg.TRAIN.IM_BATCH_SIZE, shuffle=True, drop_last=True)
-    storyloader = DataLoader(story, cfg.TRAIN.ST_BATCH_SIZE, shuffle=True, drop_last=True)
-    testloader = DataLoader(test, cfg.TRAIN.ST_BATCH_SIZE, shuffle=False, drop_last=True)
+    from cpcsv_tpu.parallel.mesh import mesh_size
+
+    n_dev = mesh_size(cfg.MESH_SHAPE)
+    im_bs = cfg.TRAIN.IM_BATCH_SIZE * n_dev
+    st_bs = cfg.TRAIN.ST_BATCH_SIZE * n_dev
+    if args.synthetic:
+        from cpcsv_tpu.data.synthetic import SyntheticImageDataset, SyntheticStoryDataset
+
+        story = SyntheticStoryDataset(max(args.synthetic, st_bs), cfg.VIDEO_LEN,
+                                      cfg.IMSIZE, cfg.TEXT.DIMENSION, cfg.LABEL_NUM)
+        image = SyntheticImageDataset(max(args.synthetic * 2, im_bs), cfg.VIDEO_LEN,
+                                      cfg.IMSIZE, cfg.SESIZE, cfg.TEXT.DIMENSION,
+                                      cfg.LABEL_NUM, use_segment=cfg.SEGMENT_LEARNING)
+        test = SyntheticStoryDataset(max(args.synthetic // 4, st_bs), cfg.VIDEO_LEN,
+                                     cfg.IMSIZE, cfg.TEXT.DIMENSION, cfg.LABEL_NUM, seed=99)
+    else:
+        story = ClevrStoryDataset(cfg.DATA_DIR, "train", cfg.VIDEO_LEN, cfg.IMSIZE)
+        image = ClevrImageDataset(cfg.DATA_DIR, "train", cfg.VIDEO_LEN, cfg.IMSIZE,
+                                  cfg.SESIZE, use_segment=cfg.SEGMENT_LEARNING)
+        test = ClevrStoryDataset(cfg.DATA_DIR, "test", cfg.VIDEO_LEN, cfg.IMSIZE)
+    imageloader = DataLoader(image, im_bs, shuffle=True, drop_last=True)
+    storyloader = DataLoader(story, st_bs, shuffle=True, drop_last=True)
+    testloader = DataLoader(test, st_bs, shuffle=False, drop_last=True)
 
     if args.eval_fid:
         from cpcsv_tpu.evaluation.drivers import Infer

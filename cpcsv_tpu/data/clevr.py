@@ -46,6 +46,7 @@ class ClevrStoryDataset:
         story_id = self.srt + item
         frames, des, labels = [], [], []
         attr = None
+        super_labels = []
         for t in range(1, self.video_len + 1):
             path = join(self.dir_path, "CLEVR_new_%06d_%d.png" % (story_id, t))
             frames.append(np.array(Image.open(path).convert("RGB")))
@@ -54,13 +55,23 @@ class ClevrStoryDataset:
             )
             attr = code if attr is None else np.maximum(attr, code)  # cumulative OR
             des.append(code)
-            super_label = np.concatenate([attr[:2], attr[2:10], attr[13:18]])
-            labels.append(super_label.astype(np.float32))
+            # NOTE deviation from the reference: its story path emits the 15-d
+            # super_label (clevr.py:43-53) while its image path emits the 8-d
+            # label — those can't feed the same motion_dim GRU; the reference's
+            # clevr.yml was never shipped so the working dims are unknowable.
+            # Here 'labels' is the 8-d cumulative object label on BOTH paths
+            # (matches LABEL_NUM=8 in configs/clevr.yml); the 15-d super_label
+            # is still provided under 'super_labels'.
+            labels.append(attr[2:10].astype(np.float32))
+            super_labels.append(
+                np.concatenate([attr[:2], attr[2:10], attr[13:18]]).astype(np.float32)
+            )
         video = video_transform(np.stack(frames), self.imsize)
         return {
             "images": video,
             "description": np.stack(des),
             "labels": np.stack(labels),
+            "super_labels": np.stack(super_labels),
             "text": ["clevr %d frame %d" % (story_id, t) for t in range(self.video_len)],
         }
 
