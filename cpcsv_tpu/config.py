@@ -95,6 +95,7 @@ class Config:
     COMPUTE_DTYPE: str = "float32"  # "float32" | "bfloat16" for conv/matmul path
     MESH_SHAPE: str = ""  # e.g. "data:8"; empty = use all local devices on "data"
     USE_PALLAS: bool = True  # enable Pallas kernels on TPU for hot ops
+    REMAT: bool = False  # rematerialize generator blocks (trade FLOPs for HBM)
 
     # ----- derived helpers -----
     @property

@@ -95,12 +95,18 @@ class StoryGenerator(nn.Module):
     image_size: int = 124
     out_num: int = 1
     torch_repeat_quirk: bool = False
+    remat: bool = False  # rematerialize up/down blocks: trade FLOPs for HBM
     dtype: Any = None
 
     def setup(self):
         ninput = self.motion_dim + self.content_dim + self.image_size  # 613
         ngf, ngf_seg = self.gf_dim, self.gf_dim_seg
         dt = self.dtype
+        # remat: recompute block activations in the backward pass instead of
+        # storing them (jax.checkpoint through flax.linen.remat) — lets the
+        # per-chip batch grow past HBM limits at ~1/3 extra FLOPs
+        UpBlockM = nn.remat(UpBlock, static_argnums=(2,)) if self.remat else UpBlock
+        DownBlockM = nn.remat(DownBlock, static_argnums=(2,)) if self.remat else DownBlock
 
         self.ca_net = CANet(self.content_dim, dtype=dt)
         self.filter_net = DenseBN(
@@ -110,10 +116,10 @@ class StoryGenerator(nn.Module):
             self.image_size * self.filter_num, activation=jnp.tanh, dtype=dt
         )
         self.fc = DenseBN(ngf * 4 * 4, activation=nn.relu, use_bias=False, dtype=dt)
-        self.upsample1 = UpBlock(ngf // 2, dtype=dt)
-        self.upsample2 = UpBlock(ngf // 4, dtype=dt)
-        self.upsample3 = UpBlock(ngf // 8, dtype=dt)
-        self.upsample4 = UpBlock(ngf // 16, dtype=dt)
+        self.upsample1 = UpBlockM(ngf // 2, dtype=dt)
+        self.upsample2 = UpBlockM(ngf // 4, dtype=dt)
+        self.upsample3 = UpBlockM(ngf // 8, dtype=dt)
+        self.upsample4 = UpBlockM(ngf // 16, dtype=dt)
         self.img = Conv3x3(self.n_channels, dtype=dt)
 
         if self.use_segment:
@@ -122,19 +128,19 @@ class StoryGenerator(nn.Module):
             self.fc_seg = DenseBN(
                 ngf_seg * 4 * 4, activation=nn.relu, use_bias=False, dtype=dt
             )
-            self.upsample1_seg = UpBlock(ngf_seg // 2, dtype=dt)
-            self.upsample2_seg = UpBlock(ngf_seg // 4, dtype=dt)
-            self.upsample3_seg = UpBlock(ngf_seg // 8, dtype=dt)
-            self.upsample4_seg = UpBlock(ngf_seg // 16, dtype=dt)
+            self.upsample1_seg = UpBlockM(ngf_seg // 2, dtype=dt)
+            self.upsample2_seg = UpBlockM(ngf_seg // 4, dtype=dt)
+            self.upsample3_seg = UpBlockM(ngf_seg // 8, dtype=dt)
+            self.upsample4_seg = UpBlockM(ngf_seg // 16, dtype=dt)
             self.img_seg = Conv3x3(1, dtype=dt)
             if self.cascade:
                 # mask re-encoder (reference cascade_model.py:312-320)
                 self.presample_conv = Conv3x3(ngf_seg // 16, dtype=dt)
                 self.presample_bn = make_batchnorm(dtype=dt)
-                self.downsample1_seg = DownBlock(ngf_seg // 8, dtype=dt)
-                self.downsample2_seg = DownBlock(ngf_seg // 4, dtype=dt)
-                self.downsample3_seg = DownBlock(ngf_seg // 2, dtype=dt)
-                self.downsample4_seg = DownBlock(ngf_seg, dtype=dt)
+                self.downsample1_seg = DownBlockM(ngf_seg // 8, dtype=dt)
+                self.downsample2_seg = DownBlockM(ngf_seg // 4, dtype=dt)
+                self.downsample3_seg = DownBlockM(ngf_seg // 2, dtype=dt)
+                self.downsample4_seg = DownBlockM(ngf_seg, dtype=dt)
 
         self.m_net = DenseBN(self.motion_dim, dtype=dt)
         self.c_net = DenseBN(self.content_dim, dtype=dt)
@@ -169,15 +175,15 @@ class StoryGenerator(nn.Module):
         """Context GRU (reference `model.py:336-346`)."""
         if motion_input.ndim == 2:
             motion_input = motion_input[:, None, :]
-        h0 = self.c_net(content_code, train=train)
+        h0 = self.c_net(content_code, train)
         hs = gru_scan(self.mocornn, h0, motion_input)
         return hs.reshape(-1, self.content_dim)
 
     # ------------------------------------------------------------- DFN fusion
     def _dfn_fuse(self, m_code_flat, crnn_code, train):
-        m_image = self.image_net(m_code_flat, train=train)
+        m_image = self.image_net(m_code_flat, train)
         m_image = m_image.reshape(-1, self.filter_num, self.image_size)
-        c_filter = self.filter_net(crnn_code, train=train)
+        c_filter = self.filter_net(crnn_code, train)
         c_filter = c_filter.reshape(
             -1, self.out_num, self.filter_num, self.filter_size
         )
@@ -196,56 +202,56 @@ class StoryGenerator(nn.Module):
                 self.presample_conv(mask), use_running_average=not train
             )
         )
-        g4 = self.downsample1_seg(z, train=train)  # 32x32
-        g3 = self.downsample2_seg(g4, train=train)  # 16x16
-        g2 = self.downsample3_seg(g3, train=train)  # 8x8
-        g1 = self.downsample4_seg(g2, train=train)  # 4x4
+        g4 = self.downsample1_seg(z, train)  # 32x32
+        g3 = self.downsample2_seg(g4, train)  # 16x16
+        g2 = self.downsample3_seg(g3, train)  # 8x8
+        g1 = self.downsample4_seg(g2, train)  # 4x4
         return g1, g2, g3, g4
 
     def _decode(self, zmc_all: jnp.ndarray, train: bool):
         """Shared trunk decode. Returns (frames (N,64,64,3), latents, mask)."""
-        zmc_img = self._dense_to_map(self.fc(zmc_all, train=train), self.gf_dim)
+        zmc_img = self._dense_to_map(self.fc(zmc_all, train), self.gf_dim)
 
         if not self.use_segment:
-            h = self.upsample1(zmc_img, train=train)
-            h = self.upsample2(h, train=train)
-            h = self.upsample3(h, train=train)
-            h = self.upsample4(h, train=train)
+            h = self.upsample1(zmc_img, train)
+            h = self.upsample2(h, train)
+            h = self.upsample3(h, train)
+            h = self.upsample4(h, train)
             frames = jnp.tanh(self.img(h))
             return frames, None, None
 
-        zmc_seg = self._dense_to_map(self.fc_seg(zmc_all, train=train), self.gf_dim_seg)
+        zmc_seg = self._dense_to_map(self.fc_seg(zmc_all, train), self.gf_dim_seg)
 
         if self.cascade:
             # seg trunk first, then re-encode the mask, then gate the image trunk
-            h_seg1 = self.upsample1_seg(zmc_seg, train=train)
-            h_seg2 = self.upsample2_seg(h_seg1, train=train)
-            h_seg3 = self.upsample3_seg(h_seg2, train=train)
-            h_seg4 = self.upsample4_seg(h_seg3, train=train)
+            h_seg1 = self.upsample1_seg(zmc_seg, train)
+            h_seg2 = self.upsample2_seg(h_seg1, train)
+            h_seg3 = self.upsample3_seg(h_seg2, train)
+            h_seg4 = self.upsample4_seg(h_seg3, train)
             mask = jnp.tanh(self.img_seg(h_seg4))
             g1, g2, g3, g4 = self._reencode_mask(mask, train)
 
             zmc_img = self.seg_c(g1) * zmc_img + zmc_img
-            h_img = self.upsample1(zmc_img, train=train)
+            h_img = self.upsample1(zmc_img, train)
             h_img = self.seg_c1(g2) * h_img + h_img
-            h_img = self.upsample2(h_img, train=train)
-            h_img = self.upsample3(h_img, train=train)
-            h_img = self.upsample4(h_img, train=train)
+            h_img = self.upsample2(h_img, train)
+            h_img = self.upsample3(h_img, train)
+            h_img = self.upsample4(h_img, train)
             frames = jnp.tanh(self.img(h_img))
             latents = ((zmc_seg, h_seg1, h_seg2, h_seg3), (g1, g2, g3, g4))
             return frames, latents, mask
         else:
             # v1: seg trunk gates the image trunk directly (model.py:381-407)
             zmc_img = self.seg_c(zmc_seg) * zmc_img + zmc_img
-            h_seg = self.upsample1_seg(zmc_seg, train=train)
-            h_img = self.upsample1(zmc_img, train=train)
+            h_seg = self.upsample1_seg(zmc_seg, train)
+            h_img = self.upsample1(zmc_img, train)
             h_img = self.seg_c1(h_seg) * h_img + h_img
-            h_seg = self.upsample2_seg(h_seg, train=train)
-            h_img = self.upsample2(h_img, train=train)
-            h_seg = self.upsample3_seg(h_seg, train=train)
-            h_img = self.upsample3(h_img, train=train)
-            h_seg = self.upsample4_seg(h_seg, train=train)
-            h_img = self.upsample4(h_img, train=train)
+            h_seg = self.upsample2_seg(h_seg, train)
+            h_img = self.upsample2(h_img, train)
+            h_seg = self.upsample3_seg(h_seg, train)
+            h_img = self.upsample3(h_img, train)
+            h_seg = self.upsample4_seg(h_seg, train)
+            h_img = self.upsample4(h_img, train)
             mask = jnp.tanh(self.img_seg(h_seg))
             frames = jnp.tanh(self.img(h_img))
             return frames, None, mask
@@ -320,10 +326,10 @@ class StoryGenerator(nn.Module):
         real_segments: (N, 64, 64, 1)."""
         assert self.cascade, "autoencoder exists only in the cascade variant"
         g1, _, _, _ = self._reencode_mask(real_segments, train)
-        h = self.upsample1_seg(g1, train=train)
-        h = self.upsample2_seg(h, train=train)
-        h = self.upsample3_seg(h, train=train)
-        h = self.upsample4_seg(h, train=train)
+        h = self.upsample1_seg(g1, train)
+        h = self.upsample2_seg(h, train)
+        h = self.upsample3_seg(h, train)
+        h = self.upsample4_seg(h, train)
         return jnp.tanh(self.img_seg(h))
 
     def __call__(self, motion_input, content_input, seg=False, train=True):
