@@ -16,7 +16,12 @@ def parse_args(argv=None):
     parser.add_argument("--load_ckpt", default=None, type=str)
     parser.add_argument("--continue_ckpt", default=None, type=str)
     parser.add_argument("--data_dir", dest="data_dir", type=str, default="")
-    parser.add_argument("--eval_fid", type=bool, default=False)
+    # real boolean parsing (documented deviation from the reference's
+    # broken argparse type=bool; see main_pororo._str2bool)
+    from cpcsv_tpu.cli.main_pororo import _str2bool
+
+    parser.add_argument("--eval_fid", type=_str2bool, nargs="?", const=True,
+                        default=False)
     parser.add_argument("--manualSeed", type=int, default=0)
     parser.add_argument("--synthetic", type=int, default=0,
                         help="train on N synthetic samples instead of DATA_DIR")
@@ -28,6 +33,9 @@ def main(argv=None):
     from cpcsv_tpu.config import config_from_file
     from cpcsv_tpu.data.clevr import ClevrImageDataset, ClevrStoryDataset
     from cpcsv_tpu.data.loader import DataLoader
+    from cpcsv_tpu.parallel.distributed import maybe_initialize_from_env
+
+    maybe_initialize_from_env()
 
     args = parse_args(argv)
     cfg = config_from_file(args.cfg_file)

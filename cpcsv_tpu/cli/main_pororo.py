@@ -15,6 +15,14 @@ import os
 import pprint
 
 
+def _str2bool(v: str) -> bool:
+    if v.lower() in ("1", "true", "yes", "y"):
+        return True
+    if v.lower() in ("0", "false", "no", "n"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
+
 def parse_args(argv=None):
     parser = argparse.ArgumentParser(description="Train a CP-CSV story GAN (TPU)")
     parser.add_argument("--debug", default=False, action="store_true")
@@ -23,8 +31,13 @@ def parse_args(argv=None):
     parser.add_argument("--load_ckpt", default=None, type=str)
     parser.add_argument("--continue_ckpt", default=None, type=str)
     parser.add_argument("--data_dir", dest="data_dir", type=str, default="")
-    parser.add_argument("--eval_fid", type=bool, default=False)
-    parser.add_argument("--eval_fvd", type=bool, default=False)
+    # The reference uses argparse type=bool here (main_pororo.py:39-40), so
+    # `--eval_fid 0` evaluates truthy — a footgun, not a feature. Fixed
+    # (documented deviation): 0/1/true/false parse as real booleans.
+    parser.add_argument("--eval_fid", type=_str2bool, nargs="?", const=True,
+                        default=False)
+    parser.add_argument("--eval_fvd", type=_str2bool, nargs="?", const=True,
+                        default=False)
     parser.add_argument("--manualSeed", type=int, default=0)
     parser.add_argument("--synthetic", type=int, default=0,
                         help="train on N synthetic samples instead of DATA_DIR")
@@ -35,7 +48,11 @@ def parse_args(argv=None):
 
 def main(argv=None):
     from cpcsv_tpu.config import config_from_file
+    from cpcsv_tpu.parallel.distributed import maybe_initialize_from_env
 
+    # multi-host: start the jax.distributed runtime BEFORE first backend use
+    # (no-op unless CPCSV_DISTRIBUTED / CPCSV_COORDINATOR is set)
+    maybe_initialize_from_env()
     args = parse_args(argv)
     cfg = config_from_file(args.cfg_file)
     if args.data_dir:

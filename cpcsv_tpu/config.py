@@ -94,8 +94,18 @@ class Config:
     # --- TPU-native extensions (not in the reference schema; optional keys) ---
     COMPUTE_DTYPE: str = "float32"  # "float32" | "bfloat16" for conv/matmul path
     MESH_SHAPE: str = ""  # e.g. "data:8"; empty = use all local devices on "data"
-    USE_PALLAS: bool = True  # enable Pallas kernels on TPU for hot ops
+    # Enable Pallas kernels on TPU for hot ops. Default OFF: the remote-Mosaic
+    # lane-splat miscompile (ops/pallas/dfn.py) is still present on the
+    # deployment libtpu (retested 2026-08-16, see tests/test_pallas_kernels.py).
+    # Env var CPCSV_USE_PALLAS=0/1 acts as an explicit override only.
+    USE_PALLAS: bool = False
     REMAT: bool = False  # rematerialize generator blocks (trade FLOPs for HBM)
+    # EXTENSION (off by default; not reference parity): replace the single
+    # shifted wrong-pair BCE (reference miscc/utils.py:77-80) with batch-wise
+    # InfoNCE over all (real-feature, condition) pairs — see
+    # losses/gan_losses.py:infonce_loss.
+    USE_INFONCE: bool = False
+    INFONCE_TEMPERATURE: float = 1.0
 
     # ----- derived helpers -----
     @property

@@ -37,13 +37,28 @@ class DataLoader:
         seed: int = 0,
         prefetch: int = 2,
         collate_fn=default_collate,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """`batch_size` is the GLOBAL batch. With process_count > 1 (one
+        process per TPU host), each process decodes only its contiguous
+        1/process_count slice of every global batch — the per-host input
+        pipeline of SURVEY §2.8. The shuffle seed must be identical on all
+        hosts so the global permutation agrees (it is derived from `seed`
+        alone, never from process_index)."""
+        if process_count > 1 and batch_size % process_count != 0:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by process_count "
+                f"{process_count}"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.collate_fn = collate_fn
+        self.process_index = process_index
+        self.process_count = process_count
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
@@ -59,7 +74,12 @@ class DataLoader:
             self._rng.shuffle(idx)
         nb = len(self)
         for b in range(nb):
-            yield idx[b * self.batch_size : (b + 1) * self.batch_size]
+            batch = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            if self.process_count > 1:
+                local = len(batch) // self.process_count
+                lo = self.process_index * local
+                batch = batch[lo : lo + local]
+            yield batch
 
     def __iter__(self) -> Iterator[dict]:
         self._epoch += 1

@@ -242,9 +242,11 @@ class ImageDataset:
 def build_pororo_loaders(cfg, seed: int = 0):
     """Reference main_pororo.py:97-121: train story/image loaders + test loader."""
     from cpcsv_tpu.data.loader import DataLoader
+    from cpcsv_tpu.parallel.distributed import process_info
     from cpcsv_tpu.parallel.mesh import mesh_size
 
     n_dev = mesh_size(cfg.MESH_SHAPE)  # reference: batch x num_gpu
+    pi, pc = process_info()  # per-host input pipeline in multi-host runs
     dir_path = cfg.DATA_DIR
     counter = _load_npy_dict(join(dir_path, "frames_counter.npy"))
     base = VideoFolderDataset(dir_path, counter, cache=dir_path, min_len=4, data_type="train")
@@ -261,13 +263,15 @@ def build_pororo_loaders(cfg, seed: int = 0):
     test_story = StoryDataset(base_test, dir_path, cfg.IMSIZE)
 
     imageloader = DataLoader(
-        image, cfg.TRAIN.IM_BATCH_SIZE * n_dev, shuffle=True, drop_last=True, seed=seed
+        image, cfg.TRAIN.IM_BATCH_SIZE * n_dev, shuffle=True, drop_last=True,
+        seed=seed, process_index=pi, process_count=pc,
     )
     storyloader = DataLoader(
-        story, cfg.TRAIN.ST_BATCH_SIZE * n_dev, shuffle=True, drop_last=True, seed=seed + 1
+        story, cfg.TRAIN.ST_BATCH_SIZE * n_dev, shuffle=True, drop_last=True,
+        seed=seed + 1, process_index=pi, process_count=pc,
     )
     testloader = DataLoader(
         test_story, cfg.TRAIN.ST_BATCH_SIZE * n_dev, shuffle=False, drop_last=True,
-        seed=seed + 2,
+        seed=seed + 2, process_index=pi, process_count=pc,
     )
     return imageloader, storyloader, testloader

@@ -97,17 +97,32 @@ class Infer:
 
     # ------------------------------------------------------------------
     def load_epoch(self, epoch: int):
-        params = self.ckpt.restore_generator(self._template.gen.params, epoch)
-        self._gen_vars = {
-            "params": params,
-            "batch_stats": self._template.gen.batch_stats,
-        }
-        # prefer full state (has trained BN stats) if available
+        """Load the epoch-E generator snapshot (params + BN stats + spectral;
+        reference inference.py:82-89 loads the full state_dict).
+
+        Fails LOUDLY on a missing snapshot (FileNotFoundError from the
+        checkpoint manager) — evaluating with untrained statistics would
+        silently produce wrong scores. Legacy params-only snapshots (round-1
+        format) are still readable, with a visible warning that BN stats
+        come from the latest full train state instead."""
+        import warnings
+
+        template = self._template.gen.variables()
         try:
-            state = self.ckpt.restore(self._template, epoch=epoch)
-            self._gen_vars = state.gen.variables()
-        except Exception:
-            pass
+            self._gen_vars = self.ckpt.restore_generator(template, epoch)
+        except FileNotFoundError:
+            raise
+        except Exception as e:  # legacy params-only snapshot layout
+            params = self.ckpt.restore_generator_params_legacy(
+                self._template.gen.params, epoch
+            )
+            warnings.warn(
+                f"netG_epoch_{epoch} is a legacy params-only snapshot "
+                f"({type(e).__name__}); borrowing batch statistics from "
+                "train_state_last — per-epoch eval scores may be distorted."
+            )
+            state = self.ckpt.restore(self._template)
+            self._gen_vars = {**state.gen.variables(), "params": params}
         return self._gen_vars
 
     def sample_videos_np(self, batch, seg: bool = False):
@@ -156,6 +171,14 @@ class Infer:
         cfg = self.cfg
         epochs = epochs or sorted(self.ckpt.available_generator_epochs(), reverse=True)
         csv_path = os.path.join(self.eval_dir, "fid_score2.csv")
+        # build extractors ONCE for the whole epoch walk (the factories warn
+        # loudly when they fall back to random init; status is surfaced in
+        # every result row)
+        from cpcsv_tpu.evaluation.inception import make_inception_extractor
+        from cpcsv_tpu.evaluation.r2plus1d import make_fsd_extractor
+
+        fid_ex = make_inception_extractor(self.fid_weights)
+        fsd_ex = make_fsd_extractor(self.fsd_weights)
         results = []
         for epoch in epochs:
             self.load_epoch(epoch)
@@ -164,19 +187,30 @@ class Infer:
                 FolderStoryDataset(orig_dir, cfg.VIDEO_LEN, cfg.IMSIZE),
                 FolderStoryDataset(gen_dir, cfg.VIDEO_LEN, cfg.IMSIZE),
                 batch_size=min(batch_size, len(os.listdir(orig_dir))),
-                weights_path=self.fsd_weights,
+                extractor=fsd_ex,
             )
             fid = fid_score(
                 FolderImageDataset(orig_dir, cfg.IMSIZE),
                 FolderImageDataset(gen_dir, cfg.IMSIZE),
                 batch_size=min(batch_size, len(os.listdir(orig_dir)) * cfg.VIDEO_LEN),
                 normalize=True,
-                weights_path=self.fid_weights,
+                extractor=fid_ex,
             )
             with open(csv_path, "a", newline="") as f:
                 csv.writer(f).writerow([epoch, fid, fsd])
-            results.append({"epoch": epoch, "fid": fid, "vfid": fsd})
-            print(f"epoch {epoch}: fid={fid:.3f} vfid/fsd={fsd:.3f}")
+            results.append(
+                {
+                    "epoch": epoch,
+                    "fid": fid,
+                    "vfid": fsd,
+                    "fid_random_init": fid_ex.random_init,
+                    "fsd_random_init": fsd_ex.random_init,
+                }
+            )
+            tag = " [RANDOM-INIT extractors!]" if (
+                fid_ex.random_init or fsd_ex.random_init
+            ) else ""
+            print(f"epoch {epoch}: fid={fid:.3f} vfid/fsd={fsd:.3f}{tag}")
         return results
 
     def eval_fvd(self, storyloader, epochs: Optional[list[int]] = None,
@@ -243,19 +277,32 @@ def evaluate_fid_fsd_in_memory(cfg, net_g, gen_vars, testloader, rng,
     """In-training eval hook (reference trainer.py:160-174 calculate_vfid):
     wraps the generator as a dataset and computes FID + FSD without dumping
     pngs. Real-side stats cached under .cache/ like the reference."""
+    from cpcsv_tpu.evaluation.inception import make_inception_extractor
+    from cpcsv_tpu.evaluation.r2plus1d import make_fsd_extractor
+
     testdataset = testloader.dataset
     gen_ds = StoryGANDataset(net_g, gen_vars, testdataset, rng, cfg.TEXT.DIMENSION)
     real_ds = IgnoreLabelDataset(testdataset)
     bs = min(50, len(testdataset))
+    fid_ex = make_inception_extractor(fid_weights)
+    fsd_ex = make_fsd_extractor(fsd_weights)
+    # real-side caches are keyed by the extractor weights fingerprint inside
+    # activation_statistics — random-init stats can never leak into a
+    # real-weights run (round-1 stale-cache hazard)
     fsd = fsd_score(
         real_ds, gen_ds, batch_size=bs,
         r_cache=".cache/seg_story_vfid_reference_score.npz",
-        weights_path=fsd_weights,
+        extractor=fsd_ex,
     )
     fid = fid_score(
         real_ds, gen_ds, batch_size=min(50, len(testdataset) * cfg.VIDEO_LEN),
         normalize=True,
         r_cache=".cache/seg_story_fid_reference_score.npz",
-        weights_path=fid_weights,
+        extractor=fid_ex,
     )
-    return {"fid": fid, "fsd": fsd}
+    return {
+        "fid": fid,
+        "fsd": fsd,
+        "fid_random_init": fid_ex.random_init,
+        "fsd_random_init": fsd_ex.random_init,
+    }

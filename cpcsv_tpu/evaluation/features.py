@@ -43,17 +43,27 @@ def activation_statistics(
     dataset, extractor, batch_size: int, normalize: bool = False, cache: str | None = None
 ):
     """mu/sigma with the reference's .npz real-side caching
-    (fid/vfid_score.py:157-167)."""
+    (fid/vfid_score.py:157-167).
+
+    The cache file is KEYED BY THE EXTRACTOR'S WEIGHTS FINGERPRINT
+    (`extractor.fingerprint`, set by the make_* factories): statistics
+    computed with random-init weights can never be reused once real weights
+    appear, and vice versa. The fingerprint is also stored inside the npz
+    and validated on load (round-1 unkeyed caches are ignored)."""
     import os
 
-    if cache and not cache.endswith(".npz"):
-        cache = cache + ".npz"
+    fp = getattr(extractor, "fingerprint", None)
+    if cache:
+        base = cache[: -len(".npz")] if cache.endswith(".npz") else cache
+        cache = f"{base}.{fp}.npz" if fp else base + ".npz"
     if cache and os.path.exists(cache):
-        data = np.load(cache)
-        return data["m1"], data["s1"]
+        data = np.load(cache, allow_pickle=False)
+        stored_fp = str(data["fingerprint"]) if "fingerprint" in data else None
+        if fp is None or stored_fp == fp:
+            return data["m1"], data["s1"]
     acts = extract_activations(dataset, extractor, batch_size, normalize)
     mu, sigma = calculate_activation_statistics(acts)
     if cache:
         os.makedirs(os.path.dirname(cache) or ".", exist_ok=True)
-        np.savez(cache, m1=mu, s1=sigma)
+        np.savez(cache, m1=mu, s1=sigma, fingerprint=np.str_(fp or "unkeyed"))
     return mu, sigma

@@ -85,12 +85,19 @@ class VideoFolderDataset:
 
 
 def default_embedder(i3d_weights: str | None = None):
-    """True I3D FVD when a ported Kinetics-400 I3D weight file is given
-    (evaluation/i3d.py); otherwise the R(2+1)D backbone ("FVD-R")."""
-    if i3d_weights:
+    """True I3D FVD whenever Kinetics-400 I3D weights are available —
+    explicitly passed OR discovered through the weights registry
+    ($CPCSV_METRIC_WEIGHTS_DIR / ~/.cache/cpcsv_tpu/weights); only then does
+    the ≈131 empty-frame anchor apply (reference fvd/fvd.py:16-18).
+    Otherwise falls back to the R(2+1)D backbone ("FVD-R") with a loud
+    RandomInitMetricWarning from its factory."""
+    from cpcsv_tpu.evaluation import weights as W
+
+    path = W.resolve_weights("i3d_kinetics400", i3d_weights)
+    if path:
         from cpcsv_tpu.evaluation.i3d import make_i3d_embedder
 
-        return make_i3d_embedder(i3d_weights)
+        return make_i3d_embedder(path)
     from cpcsv_tpu.evaluation.r2plus1d import make_fsd_extractor
 
     return make_fsd_extractor()

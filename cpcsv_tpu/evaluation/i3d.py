@@ -171,18 +171,26 @@ def load_torch_i3d_state_dict(sd) -> dict:
 
 
 def make_i3d_embedder(weights_path: str | None = None):
-    model = I3D()
-    if weights_path:
-        import torch
+    """Weights resolve through evaluation.weights; absent weights trigger
+    RandomInitMetricWarning and tag the embedder `random_init=True`."""
+    from cpcsv_tpu.evaluation import weights as W
 
-        sd = torch.load(weights_path, map_location="cpu")
-        variables = load_torch_i3d_state_dict(sd)
+    model = I3D()
+    path = W.resolve_weights("i3d_kinetics400", weights_path)
+    if path:
+        variables = load_torch_i3d_state_dict(W.load_state_dict(path))
     else:
+        W.warn_random_init("i3d_kinetics400")
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 64, 64, 3)))
 
     @jax.jit
-    def embed(x):
+    def _embed(x):
         # x arrives in [-1,1] from the folder datasets; shift to [0,1]
         return model.apply(variables, (x + 1.0) / 2.0)
 
+    def embed(x):
+        return _embed(x)
+
+    embed.random_init = path is None
+    embed.fingerprint = W.weights_fingerprint(path)
     return embed

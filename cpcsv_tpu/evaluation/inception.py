@@ -238,17 +238,19 @@ def make_inception_classifier(weights_path: str | None = None, num_classes: int 
     """pool3 features + the checkpoint's fc head -> logits (for the
     Inception Score, reference fid/inception_score.py). The FID weight file
     carries a 1008-way fc (mseitzer pt_inception head)."""
+    from cpcsv_tpu.evaluation import weights as W
+
     model = InceptionV3FID()
     fc_w = fc_b = None
-    if weights_path:
-        import torch
-
-        sd = torch.load(weights_path, map_location="cpu")
+    path = W.resolve_weights("inception_fid", weights_path)
+    if path:
+        sd = W.load_state_dict(path)
         variables = load_torch_inception_state_dict(sd)
         if "fc.weight" in sd:
             fc_w = np.asarray(sd["fc.weight"]).T  # (2048, C)
             fc_b = np.asarray(sd["fc.bias"])
     else:
+        W.warn_random_init("inception_fid")
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     if fc_w is None:
         rng = np.random.default_rng(0)
@@ -257,26 +259,42 @@ def make_inception_classifier(weights_path: str | None = None, num_classes: int 
     fc_w, fc_b = jnp.asarray(fc_w), jnp.asarray(fc_b)
 
     @jax.jit
-    def classify(x):
+    def _classify(x):
         feats = model.apply(variables, x)
         return feats @ fc_w + fc_b
 
+    def classify(x):
+        return _classify(x)
+
+    classify.random_init = path is None
+    classify.fingerprint = W.weights_fingerprint(path)
     return classify
 
 
 def make_inception_extractor(weights_path: str | None = None, batch_size: int = 64):
-    """Returns a jitted fn images(N,H,W,3 in [0,1]) -> (N, 2048) features."""
-    model = InceptionV3FID()
-    if weights_path:
-        import torch
+    """Returns a jitted fn images(N,H,W,3 in [0,1]) -> (N, 2048) features.
 
-        sd = torch.load(weights_path, map_location="cpu")
-        variables = load_torch_inception_state_dict(sd)
+    Weights resolve through evaluation.weights (explicit path ->
+    $CPCSV_METRIC_WEIGHTS_DIR -> ~/.cache/cpcsv_tpu/weights, .npz or .pth);
+    absent weights trigger RandomInitMetricWarning and tag the extractor
+    `random_init=True` so scores can never silently pass as real FID."""
+    from cpcsv_tpu.evaluation import weights as W
+
+    model = InceptionV3FID()
+    path = W.resolve_weights("inception_fid", weights_path)
+    if path:
+        variables = load_torch_inception_state_dict(W.load_state_dict(path))
     else:
+        W.warn_random_init("inception_fid")
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
 
     @jax.jit
-    def extract(x):
+    def _extract(x):
         return model.apply(variables, x)
 
+    def extract(x):
+        return _extract(x)
+
+    extract.random_init = path is None
+    extract.fingerprint = W.weights_fingerprint(path)
     return extract

@@ -169,20 +169,27 @@ def load_torch_r2plus1d_state_dict(state_dict) -> dict:
 
 
 def make_fsd_extractor(weights_path: str | None = None):
-    """Returns a jitted fn stories(N,T,H,W,3) -> (N, 512) features."""
-    model = R2Plus1D18()
-    if weights_path:
-        import torch
+    """Returns a jitted fn stories(N,T,H,W,3) -> (N, 512) features.
 
-        sd = torch.load(weights_path, map_location="cpu")
-        if "state_dict" in sd:
-            sd = sd["state_dict"]
-        variables = load_torch_r2plus1d_state_dict(sd)
+    Weights resolve through evaluation.weights; absent weights trigger
+    RandomInitMetricWarning and tag the extractor `random_init=True`."""
+    from cpcsv_tpu.evaluation import weights as W
+
+    model = R2Plus1D18()
+    path = W.resolve_weights("r2plus1d_18", weights_path)
+    if path:
+        variables = load_torch_r2plus1d_state_dict(W.load_state_dict(path))
     else:
+        W.warn_random_init("r2plus1d_18")
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 64, 64, 3)))
 
     @jax.jit
-    def extract(x):
+    def _extract(x):
         return model.apply(variables, x)
 
+    def extract(x):
+        return _extract(x)
+
+    extract.random_init = path is None
+    extract.fingerprint = W.weights_fingerprint(path)
     return extract

@@ -59,6 +59,26 @@ def multi_label_accuracy(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarr
     return correct / jnp.maximum(jnp.sum(targets), 1.0)
 
 
+def infonce_loss(pair_logits: jnp.ndarray, temperature: float = 1.0) -> jnp.ndarray:
+    """Batch-wise InfoNCE over a (B, B) matrix of conditional-head logits,
+    pair_logits[i, j] = D_cond(features_i, condition_j); diagonal = matched.
+
+    EXTENSION, not parity: generalizes the reference's single-shifted
+    wrong-pair BCE (miscc/utils.py:77-80) — which contrasts each feature
+    against ONE mismatched condition — into a contrast against every other
+    condition in the batch (CPC/InfoNCE form). Gate: cfg.USE_INFONCE.
+
+    loss = -mean_i log softmax_j(pair_logits[i] / τ)[i]
+
+    As τ→∞ the loss linearizes to log B + (mean_j l_ij - l_ii)/τ + O(1/τ²):
+    its ordering over examples matches the positive-vs-negative logit margin
+    that the pairwise BCE objective drives (tested in tests/test_losses.py).
+    """
+    m = pair_logits.astype(jnp.float32) / temperature
+    log_probs = jax.nn.log_softmax(m, axis=-1)
+    return -jnp.mean(jnp.diagonal(log_probs))
+
+
 class DLossOut(NamedTuple):
     total: jnp.ndarray
     real: jnp.ndarray
@@ -77,6 +97,8 @@ def discriminator_loss(
     order_logits: Optional[jnp.ndarray] = None,
     order_labels: Optional[jnp.ndarray] = None,
     consistency_ratio: float = 1.0,
+    pair_logits: Optional[jnp.ndarray] = None,
+    infonce_temperature: float = 1.0,
 ) -> DLossOut:
     """Combine per-head logits into the reference D loss.
 
@@ -84,14 +106,21 @@ def discriminator_loss(
       real_logits  = D.cond(D(real), cond)
       wrong_logits = D.cond(D(real)[:B-1], cond[1:])   (mismatched pairs)
       fake_logits  = D.cond(D(fake), cond)
+
+    InfoNCE extension (cfg.USE_INFONCE): pass the (B, B) `pair_logits`
+    matrix instead of `wrong_logits`; the batch-wise InfoNCE takes the wrong
+    term's slot in `total = real + 0.5*(fake + wrong)`.
     """
     err_real = bce_with_logits(real_logits, jnp.ones_like(real_logits))
-    # wrong-pair set is empty at batch==1 (shape is static, so guard in python)
-    err_wrong = (
-        bce_with_logits(wrong_logits, jnp.zeros_like(wrong_logits))
-        if wrong_logits.size > 0
-        else jnp.zeros(())
-    )
+    if pair_logits is not None:
+        err_wrong = infonce_loss(pair_logits, infonce_temperature)
+    else:
+        # wrong-pair set is empty at batch==1 (static shape; guard in python)
+        err_wrong = (
+            bce_with_logits(wrong_logits, jnp.zeros_like(wrong_logits))
+            if wrong_logits.size > 0
+            else jnp.zeros(())
+        )
     err_fake = bce_with_logits(fake_logits, jnp.zeros_like(fake_logits))
     total = err_real + 0.5 * (err_fake + err_wrong)
 

@@ -163,6 +163,26 @@ class ImageDiscriminator(nn.Module):
         cate = self.cate_classify(fake_feat) if self.use_categories else None
         return fake_logits, cate
 
+    def pairwise_cond_logits(self, features, conditions, train: bool = True):
+        """(B, B) matrix of conditional logits for every (feature_i, cond_j)
+        pair — one batched head call over B^2 rows (InfoNCE extension)."""
+        B = features.shape[0]
+        feat_rep = jnp.repeat(features, B, axis=0)  # i-major
+        cond_tile = jnp.tile(conditions, (B, 1))
+        logits = self.get_cond_logits(feat_rep, cond_tile, train=train)
+        return logits.reshape(B, B)
+
+    def d_phase_infonce(self, real, fake, cond, train: bool = True):
+        """D-update forwards, InfoNCE variant (cfg.USE_INFONCE): the full
+        pairwise real-feature x condition matrix replaces the single shifted
+        wrong-pair head call; real logits = its diagonal."""
+        real_feat = self.encode_img(real, train=train)
+        fake_feat = self.encode_img(fake, train=train)
+        pair = self.pairwise_cond_logits(real_feat, cond, train=train)
+        fake_logits = self.get_cond_logits(fake_feat, cond, train=train)
+        cate = self.cate_classify(real_feat) if self.use_categories else None
+        return pair, fake_logits, cate
+
 
 class SegDiscriminator(ImageDiscriminator):
     """STAGE1_D_SEG: identical, 1-channel input masks."""
@@ -236,3 +256,22 @@ class StoryDiscriminator(nn.Module):
             cons_real = self.seq_consisten_model(real, train=train)
             cons_fake = self.seq_consisten_model(fake, train=train)
         return fake_logits, cons_fake, cons_real
+
+    def pairwise_cond_logits(self, features, conditions, train: bool = True):
+        """(B, B) conditional-logit matrix (InfoNCE extension)."""
+        B = features.shape[0]
+        feat_rep = jnp.repeat(features, B, axis=0)
+        cond_tile = jnp.tile(conditions, (B, 1))
+        logits = self.get_cond_logits(feat_rep, cond_tile, train=train)
+        return logits.reshape(B, B)
+
+    def d_phase_infonce(self, real, fake, cond, shuffled=None, train: bool = True):
+        """InfoNCE variant of d_phase (cfg.USE_INFONCE)."""
+        real_feat = self(real, train=train)
+        fake_feat = self(fake, train=train)
+        pair = self.pairwise_cond_logits(real_feat, cond, train=train)
+        fake_logits = self.get_cond_logits(fake_feat, cond, train=train)
+        order_logits = None
+        if self.use_seq_consistency and shuffled is not None:
+            order_logits = self.seq_consisten_model(shuffled, train=train)
+        return pair, fake_logits, order_logits

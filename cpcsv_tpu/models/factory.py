@@ -32,6 +32,7 @@ def generator_from_config(cfg: Config, video_len: int | None = None) -> StoryGen
         use_segment=cfg.SEGMENT_LEARNING,
         cascade=cfg.CASCADE_MODEL,
         remat=cfg.REMAT,
+        use_pallas=cfg.USE_PALLAS,
         dtype=_dtype(cfg),
     )
 

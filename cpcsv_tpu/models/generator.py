@@ -96,6 +96,7 @@ class StoryGenerator(nn.Module):
     out_num: int = 1
     torch_repeat_quirk: bool = False
     remat: bool = False  # rematerialize up/down blocks: trade FLOPs for HBM
+    use_pallas: bool = False  # cfg.USE_PALLAS: Pallas DFN kernel on TPU
     dtype: Any = None
 
     def setup(self):
@@ -187,7 +188,10 @@ class StoryGenerator(nn.Module):
         c_filter = c_filter.reshape(
             -1, self.out_num, self.filter_num, self.filter_size
         )
-        mc = dynamic_filter_conv1d(m_image, c_filter, pad=self.filter_size // 2)
+        mc = dynamic_filter_conv1d(
+            m_image, c_filter, pad=self.filter_size // 2,
+            use_pallas=self.use_pallas,
+        )
         return mc.reshape(-1, self.image_size)
 
     # --------------------------------------------------------------- helpers

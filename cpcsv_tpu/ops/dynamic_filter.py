@@ -25,25 +25,24 @@ def dynamic_filter_conv1d(
     """image: (B, C, L); filters: (B, O, C, K); returns (B, O, L_out).
 
     L_out = L + 2*pad - K + 1 (with the reference's K=21, pad=10: L_out = L).
-    On TPU with O=1 (the model's only case) dispatches to the Pallas fused
-    kernel (`ops/pallas/dfn.py`); pass use_pallas=False to force the einsum.
+
+    Gate: `use_pallas` comes from cfg.USE_PALLAS (threaded through
+    StoryGenerator); the env var CPCSV_USE_PALLAS=0/1, when SET, is an
+    explicit override. The Pallas path only engages on the TPU backend with
+    O=1 (the model's only case).
     """
     import jax
+    import os
 
     B, C, L = image.shape
     _, O, Cf, K = filters.shape
     assert Cf == C, (Cf, C)
-    if use_pallas is None:
-        import os
-
-        # opt-in until the Mosaic lane-slice lowering is validated on the
-        # deployment libtpu (see ops/pallas/dfn.py)
-        use_pallas = (
-            O == 1
-            and jax.default_backend() == "tpu"
-            and os.environ.get("CPCSV_USE_PALLAS", "0") == "1"
-        )
-    if use_pallas and O == 1:
+    env = os.environ.get("CPCSV_USE_PALLAS")
+    if env is not None:
+        use_pallas = env == "1"
+    elif use_pallas is None:
+        use_pallas = False
+    if use_pallas and O == 1 and jax.default_backend() == "tpu":
         from cpcsv_tpu.ops.pallas.dfn import dfn_pallas
 
         return dfn_pallas(image, filters, pad)

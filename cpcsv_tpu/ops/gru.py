@@ -21,7 +21,18 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cpcsv_tpu.ops.blocks import normal_kernel_init
+
+def _torch_gru_init(hidden_size: int):
+    """torch nn.GRUCell default init: U(-1/sqrt(H), 1/sqrt(H)) for every
+    weight AND bias. The reference never applies weights_init to GRU cells
+    (miscc/utils.py:191-201 only touches Conv/BN/Linear), so fresh-training
+    parity requires the torch default here."""
+    bound = 1.0 / (hidden_size ** 0.5)
+
+    def init(rng, shape, dtype=jnp.float32):
+        return jax.random.uniform(rng, shape, dtype, -bound, bound)
+
+    return init
 
 
 class GRUCell(nn.Module):
@@ -33,11 +44,12 @@ class GRUCell(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
         H = self.hidden_size
+        init = _torch_gru_init(H)
         # stacked (in, 3H) / (H, 3H) kernels, gate order [r|z|n]
-        w_ih = self.param("w_ih", normal_kernel_init, (x.shape[-1], 3 * H), jnp.float32)
-        w_hh = self.param("w_hh", normal_kernel_init, (H, 3 * H), jnp.float32)
-        b_ih = self.param("b_ih", nn.initializers.zeros, (3 * H,), jnp.float32)
-        b_hh = self.param("b_hh", nn.initializers.zeros, (3 * H,), jnp.float32)
+        w_ih = self.param("w_ih", init, (x.shape[-1], 3 * H), jnp.float32)
+        w_hh = self.param("w_hh", init, (H, 3 * H), jnp.float32)
+        b_ih = self.param("b_ih", init, (3 * H,), jnp.float32)
+        b_hh = self.param("b_hh", init, (3 * H,), jnp.float32)
 
         xg = jnp.dot(x.astype(self.dtype), w_ih.astype(self.dtype)) + b_ih.astype(
             self.dtype if self.dtype else jnp.float32

@@ -40,8 +40,9 @@ def spectral_normalize(
     w_ng = jax.lax.stop_gradient(w_mat)
     v = _l2_normalize(w_ng.T @ u)
     if update:
+        # torch order: v from the OLD u, then u updated, sigma = u' W v with
+        # that SAME v (exactly one power iteration per forward).
         u = _l2_normalize(w_ng @ v)
-        v = _l2_normalize(w_ng.T @ u)
     sigma = u @ (w_ng @ v)
     return sigma, u
 

@@ -56,10 +56,18 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Device-put a dict/pytree of host arrays with the leading axis sharded
-    over the data axis. Non-array leaves (e.g. text lists) are dropped."""
+    over the data axis. Non-array leaves (e.g. text lists) are dropped.
+
+    Multi-host: each process passes only its LOCAL slice of the global batch
+    (see data/loader.py process_index/process_count) and the global array is
+    assembled with `jax.make_array_from_process_local_data` — host data
+    never crosses DCN; only gradients do."""
     sharding = batch_sharding(mesh)
+    multihost = jax.process_count() > 1
 
     def put(x):
+        if multihost:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
         return jax.device_put(x, sharding)
 
     if isinstance(batch, dict):

@@ -30,9 +30,15 @@ class CheckpointManager:
         return os.path.join(self.model_dir, name)
 
     def save(self, state: TrainState, epoch: int):
-        """netG per-epoch snapshot + full train state at 'last'."""
+        """netG per-epoch snapshot + full train state at 'last'.
+
+        The per-epoch snapshot carries params AND batch_stats/spectral: the
+        reference's netG_epoch_E.pth is a full state_dict including BN
+        running stats (miscc/utils.py:323-338), so per-epoch eval must not
+        borrow BN statistics from a different (latest) state.
+        """
         self._ckptr.save(
-            self._path(f"netG_epoch_{epoch}"), state.gen.params, force=True
+            self._path(f"netG_epoch_{epoch}"), state.gen.variables(), force=True
         )
         self._ckptr.save(self._path("train_state_last"), state, force=True)
         with open(self._path("last_epoch.txt"), "w") as f:
@@ -40,19 +46,39 @@ class CheckpointManager:
 
     def restore(self, template: TrainState, epoch: Optional[int] = None) -> TrainState:
         """Restore the full state; if `epoch` is given, overwrite generator
-        params from that epoch's snapshot (reference --continue_ckpt)."""
+        variables from that epoch's snapshot (reference --continue_ckpt)."""
         state = self._ckptr.restore(
             self._path("train_state_last"), item=template
         )
         if epoch is not None:
             g_path = self._path(f"netG_epoch_{epoch}")
             if os.path.exists(g_path):
-                g_params = self._ckptr.restore(g_path, item=template.gen.params)
-                state = state.replace(gen=state.gen.replace(params=g_params))
+                g_vars = self.restore_generator(template.gen.variables(), epoch)
+                state = state.replace(
+                    gen=state.gen.replace(
+                        params=g_vars["params"],
+                        batch_stats=g_vars["batch_stats"],
+                        spectral=g_vars["spectral"],
+                    )
+                )
         return state
 
-    def restore_generator(self, params_template, epoch: int):
-        """Load only netG params (reference inference.py:82-89)."""
+    def restore_generator(self, variables_template: dict, epoch: int) -> dict:
+        """Load netG {params, batch_stats, spectral} for one epoch snapshot
+        (reference inference.py:82-89 loads the full state_dict).
+
+        Raises FileNotFoundError when the snapshot is absent — evaluation
+        must never silently proceed with init-time statistics."""
+        path = self._path(f"netG_epoch_{epoch}")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"generator snapshot not found: {path} "
+                f"(available epochs: {self.available_generator_epochs()})"
+            )
+        return self._ckptr.restore(path, item=variables_template)
+
+    def restore_generator_params_legacy(self, params_template, epoch: int):
+        """Read a round-1-format snapshot that stored only params."""
         return self._ckptr.restore(
             self._path(f"netG_epoch_{epoch}"), item=params_template
         )

@@ -139,16 +139,23 @@ def make_train_steps(cfg: Config, models, jit: bool = True):
                     "batch_stats": net_state.batch_stats,
                     "spectral": net_state.spectral,
                 }
+                use_nce = cfg.USE_INFONCE
+                tau = cfg.INFONCE_TEMPERATURE
                 if extra is not None:  # story D with optional shuffle branch
-                    (rl, wl, fl, ol), mut = model.apply(
-                        variables,
-                        real,
-                        fake,
-                        cond,
-                        extra.get("shuffled"),
-                        method="d_phase",
-                        mutable=["batch_stats", "spectral"],
-                    )
+                    if use_nce:
+                        (pair, fl, ol), mut = model.apply(
+                            variables, real, fake, cond, extra.get("shuffled"),
+                            method="d_phase_infonce",
+                            mutable=["batch_stats", "spectral"],
+                        )
+                        rl, wl = jnp.diagonal(pair), None
+                    else:
+                        (rl, wl, fl, ol), mut = model.apply(
+                            variables, real, fake, cond, extra.get("shuffled"),
+                            method="d_phase",
+                            mutable=["batch_stats", "spectral"],
+                        )
+                        pair = None
                     out = discriminator_loss(
                         rl,
                         wl,
@@ -158,17 +165,28 @@ def make_train_steps(cfg: Config, models, jit: bool = True):
                         ol,
                         extra.get("order_labels"),
                         cfg.CONSISTENCY_RATIO,
+                        pair_logits=pair,
+                        infonce_temperature=tau,
                     )
                 else:
-                    (rl, wl, fl, cate), mut = model.apply(
-                        variables,
-                        real,
-                        fake,
-                        cond,
-                        method="d_phase",
-                        mutable=["batch_stats", "spectral"],
+                    if use_nce:
+                        (pair, fl, cate), mut = model.apply(
+                            variables, real, fake, cond,
+                            method="d_phase_infonce",
+                            mutable=["batch_stats", "spectral"],
+                        )
+                        rl, wl = jnp.diagonal(pair), None
+                    else:
+                        (rl, wl, fl, cate), mut = model.apply(
+                            variables, real, fake, cond,
+                            method="d_phase",
+                            mutable=["batch_stats", "spectral"],
+                        )
+                        pair = None
+                    out = discriminator_loss(
+                        rl, wl, fl, cate, cate_labels,
+                        pair_logits=pair, infonce_temperature=tau,
                     )
-                    out = discriminator_loss(rl, wl, fl, cate, cate_labels)
                 return out.total, (out, mut)
 
             (loss, (out, mut)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -34,15 +34,14 @@ from cpcsv_tpu.utils.logging import MetricsLogger
 
 
 def lr_at_epoch(base_lr: float, epoch: int, decay_step: int) -> float:
-    """Reference schedule (trainer.py:447-456): halve at epoch==decay_step,
-    then the interval doubles each time (20, 40, 80, ...) — i.e. halvings
-    happen at cumulative epochs decay_step * (2^k - 1) ... actually at
-    epochs e where e % current_step == 0, with current_step doubling after
-    each halving. Reproduced iteratively."""
+    """Reference schedule (trainer.py:447-456): at the END of each epoch e>0
+    with e % current_step == 0, halve the LR and double current_step
+    (20, 40, 80, ...). So epoch==decay_step still trains at the PRE-decay
+    LR; the halved LR first applies at decay_step+1. Reproduced by replaying
+    end-of-epoch halvings for all epochs strictly before `epoch`."""
     lr = base_lr
     step = decay_step
-    e = 0
-    for e in range(1, epoch + 1):
+    for e in range(1, epoch):
         if step > 0 and e % step == 0:
             lr *= 0.5
             step *= 2

@@ -51,12 +51,14 @@ def test_lr_schedule_matches_reference():
     """halve at 20, interval doubles: next at 60 (20+40), then 140
     (reference trainer.py:447-456: e%step==0 with step doubling)."""
     base = 1e-4
+    # reference halves at the END of epoch e%step==0 (trainer.py:447-456):
+    # epoch 20 still trains at base; the halving first applies at 21.
     assert lr_at_epoch(base, 0, 20) == base
-    assert lr_at_epoch(base, 19, 20) == base
-    assert lr_at_epoch(base, 20, 20) == base * 0.5
-    assert lr_at_epoch(base, 39, 20) == base * 0.5
-    assert lr_at_epoch(base, 40, 20) == base * 0.25
-    assert lr_at_epoch(base, 80, 20) == base * 0.125
+    assert lr_at_epoch(base, 20, 20) == base
+    assert lr_at_epoch(base, 21, 20) == base * 0.5
+    assert lr_at_epoch(base, 40, 20) == base * 0.5
+    assert lr_at_epoch(base, 41, 20) == base * 0.25
+    assert lr_at_epoch(base, 81, 20) == base * 0.125
 
 
 def test_train_one_epoch_and_resume(tmp_path):

@@ -78,6 +78,53 @@ def test_generator_loss_wants_ones():
     )
 
 
+def test_infonce_basic_properties():
+    from cpcsv_tpu.losses.gan_losses import infonce_loss
+
+    B = 8
+    # strongly diagonal matrix -> near-zero loss
+    strong = jnp.eye(B) * 20.0 - 10.0
+    assert float(infonce_loss(strong)) < 1e-3
+    # uniform matrix -> exactly log(B)
+    assert abs(float(infonce_loss(jnp.zeros((B, B)))) - np.log(B)) < 1e-6
+    # anti-diagonal (matched pairs scored worst) -> large loss
+    assert float(infonce_loss(-strong)) > np.log(B)
+
+
+def test_infonce_high_temperature_matches_pairwise_margin_ordering():
+    """As tau -> inf, infonce linearizes to log B + (mean_j l_ij - l_ii)/tau,
+    so its ordering over candidate logit matrices must match the
+    positive-vs-negative margin that the reference's wrong-pair BCE drives
+    (reference miscc/utils.py:77-80 pushes l_ii up, off-diagonal down)."""
+    from cpcsv_tpu.losses.gan_losses import infonce_loss
+
+    rng = np.random.default_rng(7)
+    B, tau = 6, 1e4
+    losses, margins = [], []
+    for _ in range(20):
+        m = rng.standard_normal((B, B)).astype(np.float32) * 3
+        losses.append(float(infonce_loss(jnp.array(m), tau)))
+        margins.append(float(np.mean(np.diag(m)) - np.mean(m)))
+    # larger positive-pair margin <=> smaller InfoNCE: orderings are inverse
+    assert np.all(np.argsort(losses) == np.argsort(margins)[::-1])
+
+
+def test_discriminator_loss_infonce_slot():
+    from cpcsv_tpu.losses.gan_losses import infonce_loss
+
+    B = 5
+    rng = np.random.default_rng(11)
+    pair = jnp.array(rng.standard_normal((B, B)).astype(np.float32))
+    rl = jnp.diagonal(pair)
+    fl = jnp.full((B,), -5.0)
+    out = discriminator_loss(rl, None, fl, None, None, pair_logits=pair)
+    expected_wrong = float(infonce_loss(pair))
+    assert abs(float(out.wrong) - expected_wrong) < 1e-6
+    # total = real + 0.5*(fake + infonce)
+    expect_total = float(out.real) + 0.5 * (float(out.fake) + expected_wrong)
+    assert abs(float(out.total) - expect_total) < 1e-5
+
+
 def test_create_random_shuffle_shapes_and_labels():
     rng = np.random.default_rng(3)
     stories = rng.standard_normal((14, 5, 8, 8, 3)).astype(np.float32)

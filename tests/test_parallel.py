@@ -31,6 +31,38 @@ def test_shard_batch_places_on_mesh():
     assert out["images"].sharding.spec == batch_sharding(mesh).spec
 
 
+def test_per_host_loader_slices_partition_global_batch():
+    """Multi-host input pipeline: the per-process loaders' slices must
+    concatenate (in process order) to exactly the single-process global
+    batch — same seed => same global permutation on every host."""
+    from cpcsv_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.float32)}
+
+    global_loader = DataLoader(DS(), 8, shuffle=True, drop_last=True, seed=5)
+    host_loaders = [
+        DataLoader(DS(), 8, shuffle=True, drop_last=True, seed=5,
+                   process_index=p, process_count=4)
+        for p in range(4)
+    ]
+    for g, *hs in zip(global_loader, *host_loaders):
+        merged = np.concatenate([h["x"] for h in hs], axis=0)
+        np.testing.assert_array_equal(g["x"], merged)
+        assert hs[0]["x"].shape[0] == 2  # 8 global / 4 hosts
+
+
+def test_per_host_loader_rejects_indivisible_batch():
+    from cpcsv_tpu.data.loader import DataLoader
+
+    with pytest.raises(ValueError):
+        DataLoader([], 7, process_index=0, process_count=2)
+
+
 def test_dryrun_multichip_entrypoint():
     """The driver's multi-chip validation must pass on the virtual mesh."""
     import importlib.util, os

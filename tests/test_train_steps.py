@@ -72,6 +72,23 @@ def test_train_steps_run_and_update(cascade, segment):
         assert "G/video_vae_loss" in g_metrics
 
 
+def test_infonce_train_step():
+    """USE_INFONCE extension: D step runs, losses finite, params move."""
+    cfg = tiny_cfg(CASCADE_MODEL=False, SEGMENT_LEARNING=True, USE_INFONCE=True)
+    models = build_models(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), models)
+    d_step, g_step = make_train_steps(cfg, models)
+    rng = np.random.default_rng(2)
+    st_batch, im_batch = make_batches(cfg, rng)
+    d_before = np.asarray(jax.tree.leaves(state.d_im.params)[0]).copy()
+    state, dm = d_step(state, jax.random.PRNGKey(1), st_batch, im_batch, 4e-4)
+    state, gm = g_step(state, jax.random.PRNGKey(2), st_batch, im_batch, 1e-4)
+    for k, v in {**dm, **gm}.items():
+        assert np.isfinite(np.asarray(v)), f"{k} not finite"
+    d_after = np.asarray(jax.tree.leaves(state.d_im.params)[0])
+    assert not np.allclose(d_before, d_after)
+
+
 def test_seq_consistency_branch():
     cfg = tiny_cfg(CASCADE_MODEL=False, SEGMENT_LEARNING=True, USE_SEQ_CONSISTENCY=True)
     models = build_models(cfg)

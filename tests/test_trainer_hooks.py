@@ -24,13 +24,16 @@ def test_ssim_and_vfid_hooks(tmp_path):
     assert -1.0 <= ssim <= 1.0
 
     os.makedirs(".cache", exist_ok=True)
-    for f in (
-        ".cache/seg_story_vfid_reference_score.npz",
-        ".cache/seg_story_fid_reference_score.npz",
-    ):
-        if os.path.exists(f):
-            os.remove(f)
+    for f in os.listdir(".cache"):
+        if f.startswith(("seg_story_vfid_reference_score", "seg_story_fid_reference_score")):
+            os.remove(os.path.join(".cache", f))
     scores = trainer.calculate_vfid(state, 0, loaders[2])
     assert np.isfinite(scores["fid"]) and np.isfinite(scores["fsd"])
-    # real-side statistics are cached like the reference (trainer.py:165-169)
-    assert os.path.exists(".cache/seg_story_vfid_reference_score.npz")
+    # no weights in this sandbox -> results must be marked random-init
+    assert scores["fid_random_init"] is True
+    assert scores["fsd_random_init"] is True
+    # real-side statistics are cached like the reference (trainer.py:165-169),
+    # with the cache file keyed by the extractor weights fingerprint
+    assert os.path.exists(
+        ".cache/seg_story_vfid_reference_score.random-init.npz"
+    )
