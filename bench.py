@@ -51,6 +51,23 @@ def main():
         SEGMENT_LEARNING=True,
         COMPUTE_DTYPE="bfloat16" if on_tpu else "float32",
     )
+    # A/B experiment knob: CPCSV_BENCH_OVERRIDES="REMAT=1,FUSED_UPSAMPLE=parity1"
+    # applies top-level Config overrides; such runs never touch the baseline
+    # file (vs_baseline still reported against the recorded default anchor).
+    overrides_env = os.environ.get("CPCSV_BENCH_OVERRIDES", "")
+    overrides = {}
+    for item in filter(None, overrides_env.split(",")):
+        k, v = item.split("=", 1)
+        cur = getattr(cfg, k)
+        if isinstance(cur, bool):
+            v = v not in ("0", "false", "False")
+        elif isinstance(cur, int):
+            v = int(v)
+        elif isinstance(cur, float):
+            v = float(v)
+        overrides[k] = v
+    if overrides:
+        cfg = cfg.with_updates(**overrides)
     B_st, B_im, T = 18, 90, cfg.VIDEO_LEN
     if not on_tpu:  # CPU smoke: shrink so the bench itself stays runnable
         cfg = cfg.with_updates(
@@ -58,9 +75,24 @@ def main():
         )
         B_st, B_im = 2, 4
 
+    # Step-structure A/B knobs (honest re-measurement of round-1 claims):
+    #   CPCSV_BENCH_STEP=split (default) | fused (one jitted D+G dispatch)
+    #   CPCSV_BENCH_DONATE=1 (default) | 0 (no buffer donation)
+    step_mode = os.environ.get("CPCSV_BENCH_STEP", "split")
+    donate = os.environ.get("CPCSV_BENCH_DONATE", "1") not in ("0", "false")
+
     models = build_models(cfg)
     state = create_train_state(cfg, jax.random.PRNGKey(0), models)
-    d_step, g_step = make_train_steps(cfg, models)
+    if step_mode == "fused":
+        from cpcsv_tpu.train.steps import make_fused_step
+
+        fused_step = make_fused_step(cfg, models)
+        d_step = g_step = None
+    elif donate:
+        d_step, g_step = make_train_steps(cfg, models)
+    else:
+        raw_d, raw_g = make_train_steps(cfg, models, jit=False)
+        d_step, g_step = jax.jit(raw_d), jax.jit(raw_g)
 
     rng = np.random.default_rng(0)
     st_batch = {
@@ -81,23 +113,35 @@ def main():
     # NOTE: a lax.scan over steps (whole TrainState as carry) is SLOWER on
     # v5e — the params+Adam carry defeats XLA's in-place donation update;
     # donated per-step dispatch is the fast (and production) path.
-    def one_step(state, key):
-        k1, k2 = jax.random.split(key)
-        state, _ = d_step(state, k1, st_batch, im_batch, 4e-4)
-        state, m = g_step(state, k2, st_batch, im_batch, 1e-4)
-        return state, m
+    if step_mode == "fused":
 
-    # FLOPs per step from the compiled programs (before donation consumes state)
-    k1, k2 = jax.random.split(key)
-    step_flops = float(
-        d_step.lower(state, k1, st_batch, im_batch, 4e-4)
-        .compile()
-        .cost_analysis()["flops"]
-    ) + float(
-        g_step.lower(state, k2, st_batch, im_batch, 1e-4)
-        .compile()
-        .cost_analysis()["flops"]
-    )
+        def one_step(state, key):
+            return fused_step(state, key, st_batch, im_batch, 4e-4, 1e-4)
+
+        step_flops = float(
+            fused_step.lower(state, key, st_batch, im_batch, 4e-4, 1e-4)
+            .compile()
+            .cost_analysis()["flops"]
+        )
+    else:
+
+        def one_step(state, key):
+            k1, k2 = jax.random.split(key)
+            state, _ = d_step(state, k1, st_batch, im_batch, 4e-4)
+            state, m = g_step(state, k2, st_batch, im_batch, 1e-4)
+            return state, m
+
+        # FLOPs per step from the compiled programs (before donation consumes state)
+        k1, k2 = jax.random.split(key)
+        step_flops = float(
+            d_step.lower(state, k1, st_batch, im_batch, 4e-4)
+            .compile()
+            .cost_analysis()["flops"]
+        ) + float(
+            g_step.lower(state, k2, st_batch, im_batch, 1e-4)
+            .compile()
+            .cost_analysis()["flops"]
+        )
 
     # warmup / compile; force completion via metric readback
     state, m = one_step(state, key)
@@ -134,6 +178,8 @@ def main():
                 baseline = rec.get("value")
         except Exception:
             baseline = None
+    if baseline is None and (overrides or step_mode != "split" or not donate):
+        baseline = value  # A/B runs never create the baseline file
     if baseline is None:
         json.dump(
             {

@@ -100,6 +100,12 @@ class Config:
     # Env var CPCSV_USE_PALLAS=0/1 acts as an explicit override only.
     USE_PALLAS: bool = False
     REMAT: bool = False  # rematerialize generator blocks (trade FLOPs for HBM)
+    # Fused nearest-2x-upsample+conv3x3 in the generator trunks (2.25x fewer
+    # MACs, no 2x activation in HBM; numerically equivalent — see
+    # ops/fused_upsample.py): "off" | "parity4" | "parity1" | "deconv".
+    # Default "deconv": measured 84.3 ms/step vs 107.7 "off" on v5e
+    # (readback-verified, 2026-08-16) — a 1.29x full-train-step speedup.
+    FUSED_UPSAMPLE: str = "deconv"
     # EXTENSION (off by default; not reference parity): replace the single
     # shifted wrong-pair BCE (reference miscc/utils.py:77-80) with batch-wise
     # InfoNCE over all (real-feature, condition) pairs — see

@@ -33,6 +33,7 @@ def generator_from_config(cfg: Config, video_len: int | None = None) -> StoryGen
         cascade=cfg.CASCADE_MODEL,
         remat=cfg.REMAT,
         use_pallas=cfg.USE_PALLAS,
+        fused_upsample=cfg.FUSED_UPSAMPLE,
         dtype=_dtype(cfg),
     )
 

@@ -97,6 +97,7 @@ class StoryGenerator(nn.Module):
     torch_repeat_quirk: bool = False
     remat: bool = False  # rematerialize up/down blocks: trade FLOPs for HBM
     use_pallas: bool = False  # cfg.USE_PALLAS: Pallas DFN kernel on TPU
+    fused_upsample: str = "off"  # cfg.FUSED_UPSAMPLE (ops/fused_upsample.py)
     dtype: Any = None
 
     def setup(self):
@@ -116,11 +117,12 @@ class StoryGenerator(nn.Module):
         self.image_net = DenseBN(
             self.image_size * self.filter_num, activation=jnp.tanh, dtype=dt
         )
+        fu = self.fused_upsample
         self.fc = DenseBN(ngf * 4 * 4, activation=nn.relu, use_bias=False, dtype=dt)
-        self.upsample1 = UpBlockM(ngf // 2, dtype=dt)
-        self.upsample2 = UpBlockM(ngf // 4, dtype=dt)
-        self.upsample3 = UpBlockM(ngf // 8, dtype=dt)
-        self.upsample4 = UpBlockM(ngf // 16, dtype=dt)
+        self.upsample1 = UpBlockM(ngf // 2, dtype=dt, fused=fu)
+        self.upsample2 = UpBlockM(ngf // 4, dtype=dt, fused=fu)
+        self.upsample3 = UpBlockM(ngf // 8, dtype=dt, fused=fu)
+        self.upsample4 = UpBlockM(ngf // 16, dtype=dt, fused=fu)
         self.img = Conv3x3(self.n_channels, dtype=dt)
 
         if self.use_segment:
@@ -129,10 +131,10 @@ class StoryGenerator(nn.Module):
             self.fc_seg = DenseBN(
                 ngf_seg * 4 * 4, activation=nn.relu, use_bias=False, dtype=dt
             )
-            self.upsample1_seg = UpBlockM(ngf_seg // 2, dtype=dt)
-            self.upsample2_seg = UpBlockM(ngf_seg // 4, dtype=dt)
-            self.upsample3_seg = UpBlockM(ngf_seg // 8, dtype=dt)
-            self.upsample4_seg = UpBlockM(ngf_seg // 16, dtype=dt)
+            self.upsample1_seg = UpBlockM(ngf_seg // 2, dtype=dt, fused=fu)
+            self.upsample2_seg = UpBlockM(ngf_seg // 4, dtype=dt, fused=fu)
+            self.upsample3_seg = UpBlockM(ngf_seg // 8, dtype=dt, fused=fu)
+            self.upsample4_seg = UpBlockM(ngf_seg // 16, dtype=dt, fused=fu)
             self.img_seg = Conv3x3(1, dtype=dt)
             if self.cascade:
                 # mask re-encoder (reference cascade_model.py:312-320)

@@ -37,15 +37,16 @@ def make_batchnorm(dtype=None, name: str | None = None) -> nn.BatchNorm:
 class Conv3x3(nn.Module):
     """3x3 conv, stride 1, SAME padding, no bias (reference conv3x3).
 
-    `fuse_upsample2x=True` computes conv3x3(nearest_upsample_2x(x)) via the
-    parity decomposition (ops/fused_upsample.py): 2.25x fewer MACs and the
-    2x-upsampled activation never hits HBM."""
+    `fuse_upsample2x` != "off" computes conv3x3(nearest_upsample_2x(x)) as a
+    fused op (ops/fused_upsample.py): 2.25x fewer MACs and the 2x-upsampled
+    activation never hits HBM. Variants: "parity4" | "parity1" | "deconv"."""
 
     features: int
     stride: int = 1
     use_bias: bool = False
     dtype: Any = None
-    fuse_upsample2x: bool = False
+    # "off" | "parity4" | "parity1" | "deconv" (ops/fused_upsample.py)
+    fuse_upsample2x: str = "off"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -55,11 +56,16 @@ class Conv3x3(nn.Module):
         )
         k = kernel.astype(self.dtype) if self.dtype else kernel
         xc = x.astype(self.dtype) if self.dtype else x
-        if self.fuse_upsample2x:
+        if self.fuse_upsample2x != "off":
             assert self.stride == 1
-            from cpcsv_tpu.ops.fused_upsample import upsample2x_conv3x3
+            from cpcsv_tpu.ops import fused_upsample as fu
 
-            y = upsample2x_conv3x3(xc, k)
+            fn = {
+                "parity4": fu.upsample2x_conv3x3,
+                "parity1": fu.upsample2x_conv3x3_oneconv,
+                "deconv": fu.upsample2x_conv3x3_deconv,
+            }[self.fuse_upsample2x]
+            y = fn(xc, k)
         else:
             y = jax.lax.conv_general_dilated(
                 xc,
@@ -113,16 +119,16 @@ class UpBlock(nn.Module):
 
     features: int
     dtype: Any = None
-    # fused parity-decomposition measured SLOWER on v5e (22.1k vs 35.9k
-    # frames/s full train step): 4 small convs + interleave lose to one
-    # large conv the MXU tiles well. Kept as an option; default off.
-    fused: bool = False
+    # "off" | "parity4" | "parity1" | "deconv": cfg.FUSED_UPSAMPLE. All are
+    # numerically equivalent to upsample-then-conv (test_fused_upsample.py);
+    # pick by measured step time (PARITY.md "Measured perf experiments").
+    fused: str = "off"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        if self.fused:
+        if self.fused != "off":
             x = Conv3x3(
-                self.features, dtype=self.dtype, fuse_upsample2x=True, name="conv"
+                self.features, dtype=self.dtype, fuse_upsample2x=self.fused, name="conv"
             )(x)
         else:
             x = nearest_upsample_2x(x)

@@ -1,0 +1,135 @@
+"""Capture a device trace of the bench-scale train step and print an op-level
+time breakdown (top HLO ops by total device time).
+
+The tensorboard profile plugin in this image can't convert xplanes (TF
+version mismatch), so this parses the .xplane.pb directly via the tsl proto
+and aggregates event durations per line.
+
+Usage:  python tools/profile_step.py [--steps 4] [--keep DIR]
+Honors CPCSV_BENCH_OVERRIDES like bench.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def capture(trace_dir: str, steps: int):
+    from cpcsv_tpu.config import default_config
+    from cpcsv_tpu.models import build_models
+    from cpcsv_tpu.train import create_train_state, make_train_steps
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    cfg = default_config().with_updates(
+        CONFIG_NAME="bench",
+        CASCADE_MODEL=True,
+        SEGMENT_LEARNING=True,
+        COMPUTE_DTYPE="bfloat16" if on_tpu else "float32",
+    )
+    for item in filter(None, os.environ.get("CPCSV_BENCH_OVERRIDES", "").split(",")):
+        k, v = item.split("=", 1)
+        cur = getattr(cfg, k)
+        if isinstance(cur, bool):
+            v = v not in ("0", "false", "False")
+        elif isinstance(cur, (int, float)):
+            v = type(cur)(v)
+        cfg = cfg.with_updates(**{k: v})
+
+    B_st, B_im, T = 18, 90, cfg.VIDEO_LEN
+    models = build_models(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), models)
+    d_step, g_step = make_train_steps(cfg, models)
+
+    rng = np.random.default_rng(0)
+    st_batch = {
+        "images": jnp.asarray(rng.standard_normal((B_st, T, 64, 64, 3)), jnp.float32),
+        "description": jnp.asarray(rng.standard_normal((B_st, T, 356)), jnp.float32),
+        "labels": jnp.asarray((rng.random((B_st, T, 9)) < 0.3), jnp.float32),
+    }
+    im_batch = {
+        "images": jnp.asarray(rng.standard_normal((B_im, 64, 64, 3)), jnp.float32),
+        "description": jnp.asarray(rng.standard_normal((B_im, 356)), jnp.float32),
+        "labels": jnp.asarray((rng.random((B_im, 9)) < 0.3), jnp.float32),
+        "content": jnp.asarray(rng.standard_normal((B_im, T, 356)), jnp.float32),
+        "images_seg": jnp.asarray(rng.standard_normal((B_im, 64, 64, 1)), jnp.float32),
+    }
+    key = jax.random.PRNGKey(1)
+
+    def one_step(state, key):
+        k1, k2 = jax.random.split(key)
+        state, _ = d_step(state, k1, st_batch, im_batch, 4e-4)
+        state, m = g_step(state, k2, st_batch, im_batch, 1e-4)
+        return state, m
+
+    # warmup/compile outside the trace
+    state, m = one_step(state, key)
+    _ = float(np.asarray(m["G/loss"]))
+
+    jax.profiler.start_trace(trace_dir)
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        state, m = one_step(state, sub)
+    _ = float(np.asarray(m["G/loss"]))  # readback barrier inside the trace
+    jax.profiler.stop_trace()
+
+
+def analyze(trace_dir: str, top: int = 40):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: E501
+
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
+    if not paths:
+        print("no xplane.pb found under", trace_dir)
+        return
+    for path in paths:
+        space = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            space.ParseFromString(f.read())
+        for plane in space.planes:
+            if "TPU" not in plane.name and "device" not in plane.name.lower():
+                continue
+            meta = {m.id: m.name for m in plane.event_metadata.values()}
+            for line in plane.lines:
+                agg = collections.Counter()
+                total = 0
+                for ev in line.events:
+                    name = meta.get(ev.metadata_id, str(ev.metadata_id))
+                    agg[name] += ev.duration_ps
+                    total += ev.duration_ps
+                if total == 0:
+                    continue
+                print(f"\n=== plane '{plane.name}' line '{line.name}' "
+                      f"(total {total/1e12*1e3:.2f} ms) ===")
+                for name, ps in agg.most_common(top):
+                    print(f"  {ps/1e9:10.3f} ms  {100*ps/total:5.1f}%  {name[:120]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--keep", default=None, help="trace dir (kept); default: temp")
+    ap.add_argument("--analyze-only", default=None, help="skip capture, parse DIR")
+    ap.add_argument("--top", type=int, default=40)
+    args = ap.parse_args()
+
+    if args.analyze_only:
+        analyze(args.analyze_only, args.top)
+        return
+    trace_dir = args.keep or tempfile.mkdtemp(prefix="cpcsv_trace_")
+    capture(trace_dir, args.steps)
+    print("trace dir:", trace_dir)
+    analyze(trace_dir, args.top)
+
+
+if __name__ == "__main__":
+    main()
