@@ -69,6 +69,11 @@ def main():
     if overrides:
         cfg = cfg.with_updates(**overrides)
     B_st, B_im, T = 18, 90, cfg.VIDEO_LEN
+    # CPCSV_BENCH_SCALE=k multiplies both batch sizes (per-chip batch-scaling
+    # study; the reference final.yml shape is k=1 and is what BENCH_BASELINE
+    # anchors). Combine with REMAT=1 if HBM-bound.
+    scale = int(os.environ.get("CPCSV_BENCH_SCALE", "1"))
+    B_st, B_im = B_st * scale, B_im * scale
     if not on_tpu:  # CPU smoke: shrink so the bench itself stays runnable
         cfg = cfg.with_updates(
             GAN=GanConfig(CONDITION_DIM=124, Z_DIM=100, DF_DIM=16, GF_DIM=8, GF_SEG_DIM=32)
@@ -76,9 +81,12 @@ def main():
         B_st, B_im = 2, 4
 
     # Step-structure A/B knobs (honest re-measurement of round-1 claims):
-    #   CPCSV_BENCH_STEP=split (default) | fused (one jitted D+G dispatch)
+    #   CPCSV_BENCH_STEP=scan (production default when cfg.SCAN_STEPS>1;
+    #                    lax.scan over all steps, one dispatch total)
+    #                    | split (per-step dispatch) | fused (one D+G program)
     #   CPCSV_BENCH_DONATE=1 (default) | 0 (no buffer donation)
-    step_mode = os.environ.get("CPCSV_BENCH_STEP", "split")
+    default_mode = "scan" if cfg.SCAN_STEPS > 1 else "split"
+    step_mode = os.environ.get("CPCSV_BENCH_STEP", default_mode)
     donate = os.environ.get("CPCSV_BENCH_DONATE", "1") not in ("0", "false")
 
     models = build_models(cfg)
@@ -87,6 +95,8 @@ def main():
         from cpcsv_tpu.train.steps import make_fused_step
 
         fused_step = make_fused_step(cfg, models)
+        d_step = g_step = None
+    elif step_mode == "scan":
         d_step = g_step = None
     elif donate:
         d_step, g_step = make_train_steps(cfg, models)
@@ -110,10 +120,23 @@ def main():
 
     key = jax.random.PRNGKey(1)
 
-    # NOTE: a lax.scan over steps (whole TrainState as carry) is SLOWER on
-    # v5e — the params+Adam carry defeats XLA's in-place donation update;
-    # donated per-step dispatch is the fast (and production) path.
-    if step_mode == "fused":
+    if step_mode == "scan":
+        # all timed steps in ONE dispatch via the production multi-step scan
+        # (train/steps.py:make_scan_steps): K DISTINCT batches ride in as
+        # scan inputs (leading K axis), the TrainState carry is donated so
+        # XLA updates params/optimizer in place.
+        from cpcsv_tpu.train.steps import make_scan_steps
+
+        scan_steps = make_scan_steps(cfg, models)
+
+        st1 = jax.tree_util.tree_map(lambda a: a[None], st_batch)
+        im1 = jax.tree_util.tree_map(lambda a: a[None], im_batch)
+        step_flops = float(
+            scan_steps.lower(state, key, st1, im1, 4e-4, 1e-4)
+            .compile()
+            .cost_analysis()["flops"]
+        )
+    elif step_mode == "fused":
 
         def one_step(state, key):
             return fused_step(state, key, st_batch, im_batch, 4e-4, 1e-4)
@@ -143,20 +166,55 @@ def main():
             .cost_analysis()["flops"]
         )
 
-    # warmup / compile; force completion via metric readback
-    state, m = one_step(state, key)
-    _ = float(np.asarray(m["G/loss"]))
-
     n_iters = 20 if on_tpu else 3
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        key, sub = jax.random.split(key)
-        state, m = one_step(state, sub)
-    # completion barrier: HOST readback of a scalar computed by the final
-    # step (block_until_ready alone under-measured ~22x on this tunnel)
-    final_loss = float(np.asarray(m["G/loss"]))
-    assert np.isfinite(final_loss)
-    dt = (time.perf_counter() - t0) / n_iters
+    if step_mode == "scan":
+        # production cadence: chunks of cfg.SCAN_STEPS DISTINCT batches
+        # (distinct data, same shapes) stacked on a leading axis, exactly as
+        # the trainer feeds the scan path
+        K = max(1, min(cfg.SCAN_STEPS, n_iters))
+        n_chunks = max(1, n_iters // K)
+        n_iters = n_chunks * K
+        st_k = jax.tree_util.tree_map(
+            lambda a: jnp.stack([a + 0.01 * i for i in range(K)]), st_batch
+        )
+        im_k = jax.tree_util.tree_map(
+            lambda a: jnp.stack([a + 0.01 * i for i in range(K)]), im_batch
+        )
+        # warmup: TWO dispatches with readbacks — the first executions after
+        # compile have shown order-of-magnitude anomalies on the tunnel
+        # (donated-carry buffers ping-ponging through the host when no
+        # readback intervenes); steady state begins at execution 2-3.
+        for _ in range(2):
+            key, sub = jax.random.split(key)
+            state, m = scan_steps(state, sub, st_k, im_k, 4e-4, 1e-4)
+            _ = float(np.asarray(m["G/loss"][-1]))
+        n_chunks = max(2, n_chunks)
+        n_iters = n_chunks * K
+        t0 = time.perf_counter()
+        for _ in range(n_chunks):
+            key, sub = jax.random.split(key)
+            state, m = scan_steps(state, sub, st_k, im_k, 4e-4, 1e-4)
+            # per-chunk readback = the production pattern (the trainer logs
+            # each chunk's metrics). NB back-to-back scan dispatches WITHOUT
+            # a readback between them serialize pathologically on the axon
+            # tunnel (~+400 ms per dispatch, measured 2026-08-16).
+            final_loss = float(np.asarray(m["G/loss"][-1]))
+        assert np.isfinite(final_loss)
+        dt = (time.perf_counter() - t0) / n_iters
+    else:
+        # warmup / compile; force completion via metric readback
+        state, m = one_step(state, key)
+        _ = float(np.asarray(m["G/loss"]))
+
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            key, sub = jax.random.split(key)
+            state, m = one_step(state, sub)
+        # completion barrier: HOST readback of a scalar computed by the final
+        # step (block_until_ready alone under-measured ~22x on this tunnel)
+        final_loss = float(np.asarray(m["G/loss"]))
+        assert np.isfinite(final_loss)
+        dt = (time.perf_counter() - t0) / n_iters
 
     frames_per_step = B_st * T + B_im  # generated frames per D+G step
     value = frames_per_step / dt
@@ -178,7 +236,9 @@ def main():
                 baseline = rec.get("value")
         except Exception:
             baseline = None
-    if baseline is None and (overrides or step_mode != "split" or not donate):
+    if baseline is None and (
+        overrides or step_mode != default_mode or not donate or scale != 1
+    ):
         baseline = value  # A/B runs never create the baseline file
     if baseline is None:
         json.dump(

@@ -106,6 +106,17 @@ class Config:
     # Default "deconv": measured 84.3 ms/step vs 107.7 "off" on v5e
     # (readback-verified, 2026-08-16) — a 1.29x full-train-step speedup.
     FUSED_UPSAMPLE: str = "deconv"
+    # Steps per jitted dispatch: >1 scans K alternating D+G updates in ONE
+    # XLA program (train/steps.py:make_scan_steps) with the train state
+    # donated as the scan carry — measured 77.9 ms/step steady-state at K=20
+    # vs 80.7 per-step dispatch on v5e (distinct batches ride in as stacked
+    # scan inputs; each dispatch costs ~40-60 ms fixed on the tunnel, so
+    # larger K amortizes better: K=8 gave 83 ms/step). Step semantics are
+    # identical (tests/test_train_steps.py scan-vs-split). The consumer MUST
+    # read back something per dispatch (the trainer logs metrics per chunk);
+    # enqueueing two scan dispatches back-to-back with no readback between
+    # them serialized pathologically on the axon tunnel (+400 ms/dispatch).
+    SCAN_STEPS: int = 20
     # EXTENSION (off by default; not reference parity): replace the single
     # shifted wrong-pair BCE (reference miscc/utils.py:77-80) with batch-wise
     # InfoNCE over all (real-feature, condition) pairs — see

@@ -46,23 +46,28 @@ def mesh_size(mesh_shape: str = "") -> int:
     return len(jax.devices())
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P(DATA_AXIS))
+def batch_sharding(mesh: Mesh, scan_axis: bool = False) -> NamedSharding:
+    """Shard the batch axis over the mesh. scan_axis=True: leaves carry a
+    leading steps-per-dispatch axis (cfg.SCAN_STEPS stacking) that stays
+    unsharded; the SECOND axis is the batch."""
+    spec = P(None, DATA_AXIS) if scan_axis else P(DATA_AXIS)
+    return NamedSharding(mesh, spec)
 
 
 def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Device-put a dict/pytree of host arrays with the leading axis sharded
-    over the data axis. Non-array leaves (e.g. text lists) are dropped.
+def shard_batch(batch: Any, mesh: Mesh, scan_axis: bool = False) -> Any:
+    """Device-put a dict/pytree of host arrays with the batch axis sharded
+    over the data axis (leading axis, or axis 1 under a scan_axis stack).
+    Non-array leaves (e.g. text lists) are dropped.
 
     Multi-host: each process passes only its LOCAL slice of the global batch
     (see data/loader.py process_index/process_count) and the global array is
     assembled with `jax.make_array_from_process_local_data` — host data
     never crosses DCN; only gradients do."""
-    sharding = batch_sharding(mesh)
+    sharding = batch_sharding(mesh, scan_axis=scan_axis)
     multihost = jax.process_count() > 1
 
     def put(x):

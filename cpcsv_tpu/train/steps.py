@@ -391,14 +391,52 @@ def make_train_steps(cfg: Config, models, jit: bool = True):
     return d_step_jit, g_step_jit
 
 
+def make_scan_steps(cfg: Config, models):
+    """K alternating D+G updates in ONE jitted dispatch via lax.scan.
+
+    MEASURED on v5e (readback-verified, 2026-08-16, deconv decode): 77.9
+    ms/step steady-state at K=20 (83.2 at K=8) vs 80.7 ms per-step donated
+    dispatches — each dispatch costs ~40-60 ms fixed on the tunnel, and the
+    scan amortizes it while XLA still updates the params/optimizer carry in
+    place (round-1's "scan 20x slower" was measured against the async-timing
+    artifact and is void). CAVEAT: the consumer must read back a result per
+    dispatch; two scan dispatches enqueued back-to-back with no readback
+    between them serialized pathologically (~+400 ms each) on the tunnel.
+
+    scan_steps(state, rng, st_batches, im_batches, lr_d, lr_g)
+      -> (state, metrics)   with every batch leaf carrying a leading K axis
+    and every metric leaf returned stacked over K (so the trainer can log
+    each step at the reference cadence).
+    """
+    raw_d, raw_g = make_train_steps(cfg, models, jit=False)
+
+    def body(state, x):
+        key, st_batch, im_batch, lr_d, lr_g = x
+        k_d, k_g = jax.random.split(key)
+        state, d_metrics = raw_d(state, k_d, st_batch, im_batch, lr_d)
+        state, g_metrics = raw_g(state, k_g, st_batch, im_batch, lr_g)
+        return state, {**d_metrics, **g_metrics}
+
+    def scan_steps(state, rng, st_batches, im_batches, lr_d, lr_g):
+        K = jax.tree_util.tree_leaves(st_batches)[0].shape[0]
+        keys = jax.random.split(rng, K)
+        lr_d = jnp.broadcast_to(jnp.asarray(lr_d), (K,))
+        lr_g = jnp.broadcast_to(jnp.asarray(lr_g), (K,))
+        return jax.lax.scan(body, state, (keys, st_batches, im_batches, lr_d, lr_g))
+
+    return jax.jit(scan_steps, donate_argnums=(0,))
+
+
 def make_fused_step(cfg: Config, models):
     """One jitted dispatch for the full alternating update (D-step then
     G-step).
 
-    MEASURED on v5e: ~3.4k frames/s vs ~35k for the two separate donated
-    dispatches — merging both phases into one XLA program (like scanning
-    steps) defeats the in-place param/optimizer updates and regresses ~10x.
-    Kept only as a documented experiment; the trainer uses the split steps.
+    MEASURED on v5e (readback-verified, 2026-08-16, deconv decode): 131.7
+    ms/step vs 81.2 ms for the two separate donated dispatches — merging
+    both phases into one XLA program defeats the in-place param/optimizer
+    buffer updates (the fused program must keep both phases' liveness at
+    once), a 1.6x regression. Kept only as a documented experiment
+    (CPCSV_BENCH_STEP=fused); the trainer uses the split steps.
     """
     raw_d, raw_g = make_train_steps(cfg, models, jit=False)
 

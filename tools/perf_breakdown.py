@@ -83,9 +83,12 @@ def main():
     }
     key = jax.random.PRNGKey(1)
 
-    # ---- generator forward alone (st + im sampling, as in the D phase)
+    # ---- generator forward alone (st + im sampling, as in the D phase).
+    # NB: batches must be ARGUMENTS — closing over device arrays embeds them
+    # as XLA constants and measured ~3-4x slower than the same computation
+    # with proper parameters (v5e, 2026-08-16).
     @jax.jit
-    def gen_forward(gen_vars, rng):
+    def gen_forward(gen_vars, rng, st_batch, im_batch):
         st_motion = jnp.concatenate([st_batch["description"], st_batch["labels"]], axis=2)
         im_motion = jnp.concatenate([im_batch["description"], im_batch["labels"]], axis=1)
         k1, k2 = jax.random.split(rng)
@@ -114,7 +117,10 @@ def main():
 
     gen_vars = state.gen.variables()
     t_gen = time_loop(
-        "G forward (st+im)", lambda k: gen_forward(gen_vars, k), _readback, args.iters
+        "G forward (st+im)",
+        lambda k: gen_forward(gen_vars, k, st_batch, im_batch),
+        _readback,
+        args.iters,
     )
     t_d = time_loop(
         "d_step",
