@@ -40,45 +40,28 @@ V5E_BF16_PEAK_FLOPS = 197e12  # one v5e chip
 
 
 def main():
-    from cpcsv_tpu.config import default_config, GanConfig
+    from cpcsv_tpu.config import GanConfig
     from cpcsv_tpu.models import build_models
     from cpcsv_tpu.train import create_train_state, make_train_steps
+    from cpcsv_tpu.utils.benchutil import bench_config, synthetic_batches
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    cfg = default_config().with_updates(
-        CONFIG_NAME="bench",
-        CASCADE_MODEL=True,
-        SEGMENT_LEARNING=True,
-        COMPUTE_DTYPE="bfloat16" if on_tpu else "float32",
-    )
     # A/B experiment knob: CPCSV_BENCH_OVERRIDES="REMAT=1,FUSED_UPSAMPLE=parity1"
     # applies top-level Config overrides; such runs never touch the baseline
     # file (vs_baseline still reported against the recorded default anchor).
-    overrides_env = os.environ.get("CPCSV_BENCH_OVERRIDES", "")
-    overrides = {}
-    for item in filter(None, overrides_env.split(",")):
-        k, v = item.split("=", 1)
-        cur = getattr(cfg, k)
-        if isinstance(cur, bool):
-            v = v not in ("0", "false", "False")
-        elif isinstance(cur, int):
-            v = int(v)
-        elif isinstance(cur, float):
-            v = float(v)
-        overrides[k] = v
-    if overrides:
-        cfg = cfg.with_updates(**overrides)
+    cfg = bench_config(on_tpu)
+    overrides = bool(os.environ.get("CPCSV_BENCH_OVERRIDES", ""))
     B_st, B_im, T = 18, 90, cfg.VIDEO_LEN
-    # CPCSV_BENCH_SCALE=k multiplies both batch sizes (per-chip batch-scaling
-    # study; the reference final.yml shape is k=1 and is what BENCH_BASELINE
-    # anchors). Combine with REMAT=1 if HBM-bound.
-    scale = int(os.environ.get("CPCSV_BENCH_SCALE", "1"))
-    B_st, B_im = B_st * scale, B_im * scale
     if not on_tpu:  # CPU smoke: shrink so the bench itself stays runnable
         cfg = cfg.with_updates(
             GAN=GanConfig(CONDITION_DIM=124, Z_DIM=100, DF_DIM=16, GF_DIM=8, GF_SEG_DIM=32)
         )
         B_st, B_im = 2, 4
+    # CPCSV_BENCH_SCALE=k multiplies both batch sizes (per-chip batch-scaling
+    # study; the reference final.yml shape is k=1 and is what BENCH_BASELINE
+    # anchors). Combine with REMAT=1 if HBM-bound.
+    scale = int(os.environ.get("CPCSV_BENCH_SCALE", "1"))
+    B_st, B_im = B_st * scale, B_im * scale
 
     # Step-structure A/B knobs (honest re-measurement of round-1 claims):
     #   CPCSV_BENCH_STEP=scan (production default when cfg.SCAN_STEPS>1;
@@ -94,6 +77,8 @@ def main():
     if step_mode == "fused":
         from cpcsv_tpu.train.steps import make_fused_step
 
+        if not donate:
+            raise SystemExit("CPCSV_BENCH_DONATE=0 is not supported with STEP=fused")
         fused_step = make_fused_step(cfg, models)
         d_step = g_step = None
     elif step_mode == "scan":
@@ -104,38 +89,18 @@ def main():
         raw_d, raw_g = make_train_steps(cfg, models, jit=False)
         d_step, g_step = jax.jit(raw_d), jax.jit(raw_g)
 
-    rng = np.random.default_rng(0)
-    st_batch = {
-        "images": jnp.asarray(rng.standard_normal((B_st, T, 64, 64, 3)), jnp.float32),
-        "description": jnp.asarray(rng.standard_normal((B_st, T, 356)), jnp.float32),
-        "labels": jnp.asarray((rng.random((B_st, T, 9)) < 0.3), jnp.float32),
-    }
-    im_batch = {
-        "images": jnp.asarray(rng.standard_normal((B_im, 64, 64, 3)), jnp.float32),
-        "description": jnp.asarray(rng.standard_normal((B_im, 356)), jnp.float32),
-        "labels": jnp.asarray((rng.random((B_im, 9)) < 0.3), jnp.float32),
-        "content": jnp.asarray(rng.standard_normal((B_im, T, 356)), jnp.float32),
-        "images_seg": jnp.asarray(rng.standard_normal((B_im, 64, 64, 1)), jnp.float32),
-    }
-
+    st_batch, im_batch = synthetic_batches(cfg, B_st, B_im)
     key = jax.random.PRNGKey(1)
 
     if step_mode == "scan":
         # all timed steps in ONE dispatch via the production multi-step scan
         # (train/steps.py:make_scan_steps): K DISTINCT batches ride in as
         # scan inputs (leading K axis), the TrainState carry is donated so
-        # XLA updates params/optimizer in place.
+        # XLA updates params/optimizer in place (CPCSV_BENCH_DONATE=0 turns
+        # donation off for the A/B).
         from cpcsv_tpu.train.steps import make_scan_steps
 
-        scan_steps = make_scan_steps(cfg, models)
-
-        st1 = jax.tree_util.tree_map(lambda a: a[None], st_batch)
-        im1 = jax.tree_util.tree_map(lambda a: a[None], im_batch)
-        step_flops = float(
-            scan_steps.lower(state, key, st1, im1, 4e-4, 1e-4)
-            .compile()
-            .cost_analysis()["flops"]
-        )
+        scan_steps = make_scan_steps(cfg, models, donate=donate)
     elif step_mode == "fused":
 
         def one_step(state, key):
@@ -179,6 +144,16 @@ def main():
         )
         im_k = jax.tree_util.tree_map(
             lambda a: jnp.stack([a + 0.01 * i for i in range(K)]), im_batch
+        )
+        # per-step FLOPs from the K-step program itself (the same executable
+        # the timing loop runs — no throwaway extra compile). XLA's
+        # cost_analysis counts a while-loop body ONCE regardless of trip
+        # count (verified: the K=20 program reports the same 7.363 TFLOP as
+        # a K=1 program), so this IS the per-step figure.
+        step_flops = float(
+            scan_steps.lower(state, key, st_k, im_k, 4e-4, 1e-4)
+            .compile()
+            .cost_analysis()["flops"]
         )
         # warmup: TWO dispatches with readbacks — the first executions after
         # compile have shown order-of-magnitude anomalies on the tunnel

@@ -101,6 +101,11 @@ class StoryGenerator(nn.Module):
     dtype: Any = None
 
     def setup(self):
+        valid = ("off", "parity4", "parity1", "deconv")
+        if self.fused_upsample not in valid:
+            raise ValueError(
+                f"FUSED_UPSAMPLE={self.fused_upsample!r} invalid; one of {valid}"
+            )
         ninput = self.motion_dim + self.content_dim + self.image_size  # 613
         ngf, ngf_seg = self.gf_dim, self.gf_dim_seg
         dt = self.dtype

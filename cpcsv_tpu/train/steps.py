@@ -391,7 +391,7 @@ def make_train_steps(cfg: Config, models, jit: bool = True):
     return d_step_jit, g_step_jit
 
 
-def make_scan_steps(cfg: Config, models):
+def make_scan_steps(cfg: Config, models, donate: bool = True):
     """K alternating D+G updates in ONE jitted dispatch via lax.scan.
 
     MEASURED on v5e (readback-verified, 2026-08-16, deconv decode): 77.9
@@ -424,7 +424,7 @@ def make_scan_steps(cfg: Config, models):
         lr_g = jnp.broadcast_to(jnp.asarray(lr_g), (K,))
         return jax.lax.scan(body, state, (keys, st_batches, im_batches, lr_d, lr_g))
 
-    return jax.jit(scan_steps, donate_argnums=(0,))
+    return jax.jit(scan_steps, donate_argnums=(0,) if donate else ())
 
 
 def make_fused_step(cfg: Config, models):

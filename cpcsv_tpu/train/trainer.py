@@ -99,14 +99,18 @@ class GANTrainer:
         self._np_rng = np.random.default_rng(seed)
 
     # ------------------------------------------------------------------
-    def _device_batches(self, st_batch, im_batch):
-        cfg = self.cfg
-        if cfg.USE_SEQ_CONSISTENCY:
+    def _augment_story_host(self, st_batch):
+        """Host-side story augmentation (shared by the per-step and scan
+        paths): shuffle stories for the order-consistency branch."""
+        if self.cfg.USE_SEQ_CONSISTENCY:
             shuffled, order_labels = create_random_shuffle(
                 st_batch["images"], rng=self._np_rng
             )
             st_batch = {**st_batch, "shuffled": shuffled, "order_labels": order_labels}
-        st = shard_batch(st_batch, self.mesh)
+        return st_batch
+
+    def _device_batches(self, st_batch, im_batch):
+        st = shard_batch(self._augment_story_host(st_batch), self.mesh)
         im = shard_batch(im_batch, self.mesh)
         return st, im
 
@@ -146,6 +150,11 @@ class GANTrainer:
         c_time = time.time()
         print(f"LR DECAY EPOCH: {cfg.TRAIN.LR_DECAY_EPOCH}")
 
+        from cpcsv_tpu.utils.profiling import profile_env_dir
+
+        # armed until one warm trace is captured (either step path)
+        self._profile_pending = profile_env_dir()
+
         last_st_batch = None
         for epoch in range(start_epoch, self.max_epoch):
             start_t = time.time()
@@ -155,9 +164,8 @@ class GANTrainer:
             )
             stats = {}
             from cpcsv_tpu.data.prefetch import device_prefetch
-            from cpcsv_tpu.utils.profiling import profile_env_dir
 
-            profile_dir = profile_env_dir() if epoch == start_epoch else None
+            profile_dir = self._profile_pending
 
             def paired_batches():
                 for st_host in storyloader:
@@ -199,6 +207,7 @@ class GANTrainer:
                         jax.block_until_ready(state)
                         jax.profiler.stop_trace()
                         profile_dir = None
+                        self._profile_pending = None
                     # one device->host transfer for all scalars (not per tag)
                     d_metrics = jax.device_get(d_metrics)
                     g_metrics = jax.device_get(g_metrics)
@@ -214,6 +223,14 @@ class GANTrainer:
                 def chunked():
                     chunk = []
                     for pair in paired_batches():
+                        if chunk and (
+                            pair[0]["images"].shape != chunk[0][0]["images"].shape
+                            or pair[1]["images"].shape != chunk[0][1]["images"].shape
+                        ):
+                            # ragged batch (drop_last=False tail): flush so
+                            # every chunk stacks cleanly
+                            yield chunk
+                            chunk = []
                         chunk.append(pair)
                         if len(chunk) == K:
                             yield chunk
@@ -222,20 +239,8 @@ class GANTrainer:
                         yield chunk  # shorter final chunk: one extra compile
 
                 def put_chunk(chunk):
-                    st_hosts = []
-                    im_hosts = []
-                    for st_host, im_host in chunk:
-                        if cfg.USE_SEQ_CONSISTENCY:
-                            shuffled, order_labels = create_random_shuffle(
-                                st_host["images"], rng=self._np_rng
-                            )
-                            st_host = {
-                                **st_host,
-                                "shuffled": shuffled,
-                                "order_labels": order_labels,
-                            }
-                        st_hosts.append(st_host)
-                        im_hosts.append(im_host)
+                    st_hosts = [self._augment_story_host(st) for st, _ in chunk]
+                    im_hosts = [im for _, im in chunk]
 
                     def stack(dicts):
                         return {
@@ -249,18 +254,23 @@ class GANTrainer:
                     return st_hosts[-1], len(chunk), st_k, im_k
 
                 i = 0
+                # depth=1: one chunk in flight is already K batches of HBM
+                # residency; deeper prefetch multiplies it for little overlap
                 for ci, (st_host_last, k_len, st_k, im_k) in enumerate(
-                    device_prefetch(chunked(), put_chunk, depth=2)
+                    device_prefetch(chunked(), put_chunk, depth=1)
                 ):
                     last_st_batch = (st_host_last, None)
                     rng, sub = jax.random.split(rng)
-                    if profile_dir and ci == 1:
-                        jax.profiler.start_trace(profile_dir)
+                    # profile the first WARM chunk of the run (ci>=1 in any
+                    # epoch; chunk 0 is compile-laden)
+                    tracing = self._profile_pending and ci == 1
+                    if tracing:
+                        jax.profiler.start_trace(self._profile_pending)
                     state, metrics = self.scan_steps(state, sub, st_k, im_k, lr_d, lr_g)
-                    if profile_dir and ci == 1:
+                    if tracing:
                         jax.block_until_ready(state)
                         jax.profiler.stop_trace()
-                        profile_dir = None
+                        self._profile_pending = None
                     metrics = jax.device_get(metrics)  # stacked over k_len
                     for j in range(k_len):
                         log_row({k: v[j] for k, v in metrics.items()}, i)
@@ -294,6 +304,11 @@ class GANTrainer:
             if epoch % self.snapshot_interval == 0:
                 self.ckpt.save(state, epoch)
         self.ckpt.save(state, self.max_epoch)
+        if self._profile_pending:
+            print(
+                "WARNING: CPCSV_PROFILE_DIR was set but the run was too short "
+                "to capture a warm trace (needs >= 2 dispatch chunks)"
+            )
         self.logger.flush()
         return state
 

@@ -1,0 +1,68 @@
+"""Shared helpers for bench.py and tools/ (perf_breakdown, profile_step).
+
+One place for (a) the env-override config parser and (b) the synthetic
+final.yml-scale batch dicts, so a batch-schema change cannot silently make a
+perf tool measure different inputs than the bench.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from cpcsv_tpu.config import Config, default_config
+
+
+def apply_env_overrides(cfg: Config, env: str = "CPCSV_BENCH_OVERRIDES") -> Config:
+    """Apply "KEY=VALUE,KEY=VALUE" top-level Config overrides from env.
+    Values are coerced to the type of the existing field."""
+    overrides = {}
+    for item in filter(None, os.environ.get(env, "").split(",")):
+        k, v = item.split("=", 1)
+        cur = getattr(cfg, k)  # raises AttributeError for unknown keys
+        if isinstance(cur, bool):
+            v = v not in ("0", "false", "False")
+        elif isinstance(cur, (int, float)):
+            v = type(cur)(v)
+        overrides[k] = v
+    return cfg.with_updates(**overrides) if overrides else cfg
+
+
+def bench_config(on_tpu: bool) -> Config:
+    """The flagship bench config (cascade + segment at final.yml scale),
+    with CPCSV_BENCH_OVERRIDES applied."""
+    cfg = default_config().with_updates(
+        CONFIG_NAME="bench",
+        CASCADE_MODEL=True,
+        SEGMENT_LEARNING=True,
+        COMPUTE_DTYPE="bfloat16" if on_tpu else "float32",
+    )
+    return apply_env_overrides(cfg)
+
+
+def synthetic_batches(cfg: Config, b_st: int, b_im: int, seed: int = 0):
+    """The bench's synthetic (st_batch, im_batch) at the given batch sizes —
+    the exact input schema of train/steps.py."""
+    T = cfg.VIDEO_LEN
+    rng = np.random.default_rng(seed)
+    st_batch = {
+        "images": jnp.asarray(rng.standard_normal((b_st, T, 64, 64, 3)), jnp.float32),
+        "description": jnp.asarray(rng.standard_normal((b_st, T, 356)), jnp.float32),
+        "labels": jnp.asarray((rng.random((b_st, T, 9)) < 0.3), jnp.float32),
+    }
+    im_batch = {
+        "images": jnp.asarray(rng.standard_normal((b_im, 64, 64, 3)), jnp.float32),
+        "description": jnp.asarray(rng.standard_normal((b_im, 356)), jnp.float32),
+        "labels": jnp.asarray((rng.random((b_im, 9)) < 0.3), jnp.float32),
+        "content": jnp.asarray(rng.standard_normal((b_im, T, 356)), jnp.float32),
+    }
+    if cfg.SEGMENT_LEARNING:
+        im_batch["images_seg"] = jnp.asarray(
+            rng.standard_normal((b_im, 64, 64, 1)), jnp.float32
+        )
+    if cfg.USE_SEQ_CONSISTENCY:
+        st_batch["shuffled"] = st_batch["images"]
+        st_batch["order_labels"] = jnp.zeros((b_st,), jnp.float32)
+    return st_batch, im_batch

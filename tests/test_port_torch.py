@@ -141,7 +141,7 @@ class TorchMiniG(nn.Module):
         return torch.cat(outs, 0).squeeze(1)
 
 
-def _mini_flax(cascade):
+def _mini_flax(cascade, fused_upsample="off"):
     return StoryGenerator(
         video_len=T,
         motion_dim=MOTION,
@@ -155,18 +155,23 @@ def _mini_flax(cascade):
         filter_num=FN,
         filter_size=FS,
         image_size=IMSIZE_F,
+        fused_upsample=fused_upsample,
     )
 
 
+# "off" = bit-faithful naive reduction order; "deconv" = the production
+# default decode path (cfg.FUSED_UPSAMPLE) — ported weights must decode
+# identically through BOTH (the fused lowering only reorders the reduction).
+@pytest.mark.parametrize("fused_upsample", ["off", "deconv"])
 @pytest.mark.parametrize("cascade", [False, True])
-def test_ported_decode_matches_torch(cascade):
+def test_ported_decode_matches_torch(cascade, fused_upsample):
     torch.manual_seed(0)
     tm = TorchMiniG(cascade).eval()
     variables = port_generator_state_dict(
         tm.state_dict_ref_names(), use_segment=True, cascade=cascade
     )
 
-    gen = _mini_flax(cascade)
+    gen = _mini_flax(cascade, fused_upsample)
     rng = np.random.default_rng(0)
     B = 4
     zmc = rng.standard_normal((B, NINPUT)).astype(np.float32)

@@ -26,44 +26,18 @@ import numpy as np
 
 
 def capture(trace_dir: str, steps: int):
-    from cpcsv_tpu.config import default_config
     from cpcsv_tpu.models import build_models
     from cpcsv_tpu.train import create_train_state, make_train_steps
+    from cpcsv_tpu.utils.benchutil import bench_config, synthetic_batches
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    cfg = default_config().with_updates(
-        CONFIG_NAME="bench",
-        CASCADE_MODEL=True,
-        SEGMENT_LEARNING=True,
-        COMPUTE_DTYPE="bfloat16" if on_tpu else "float32",
-    )
-    for item in filter(None, os.environ.get("CPCSV_BENCH_OVERRIDES", "").split(",")):
-        k, v = item.split("=", 1)
-        cur = getattr(cfg, k)
-        if isinstance(cur, bool):
-            v = v not in ("0", "false", "False")
-        elif isinstance(cur, (int, float)):
-            v = type(cur)(v)
-        cfg = cfg.with_updates(**{k: v})
-
-    B_st, B_im, T = 18, 90, cfg.VIDEO_LEN
+    cfg = bench_config(on_tpu)
+    B_st, B_im = 18, 90
     models = build_models(cfg)
     state = create_train_state(cfg, jax.random.PRNGKey(0), models)
     d_step, g_step = make_train_steps(cfg, models)
 
-    rng = np.random.default_rng(0)
-    st_batch = {
-        "images": jnp.asarray(rng.standard_normal((B_st, T, 64, 64, 3)), jnp.float32),
-        "description": jnp.asarray(rng.standard_normal((B_st, T, 356)), jnp.float32),
-        "labels": jnp.asarray((rng.random((B_st, T, 9)) < 0.3), jnp.float32),
-    }
-    im_batch = {
-        "images": jnp.asarray(rng.standard_normal((B_im, 64, 64, 3)), jnp.float32),
-        "description": jnp.asarray(rng.standard_normal((B_im, 356)), jnp.float32),
-        "labels": jnp.asarray((rng.random((B_im, 9)) < 0.3), jnp.float32),
-        "content": jnp.asarray(rng.standard_normal((B_im, T, 356)), jnp.float32),
-        "images_seg": jnp.asarray(rng.standard_normal((B_im, 64, 64, 1)), jnp.float32),
-    }
+    st_batch, im_batch = synthetic_batches(cfg, B_st, B_im)
     key = jax.random.PRNGKey(1)
 
     def one_step(state, key):
