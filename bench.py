@@ -204,7 +204,8 @@ def main():
         )
 
     baseline = None
-    if os.path.exists(BASELINE_FILE):
+    baseline_exists = os.path.exists(BASELINE_FILE)
+    if baseline_exists:
         try:
             rec = json.load(open(BASELINE_FILE))
             if rec.get("platform") == jax.devices()[0].platform:
@@ -212,7 +213,11 @@ def main():
         except Exception:
             baseline = None
     if baseline is None and (
-        overrides or step_mode != default_mode or not donate or scale != 1
+        baseline_exists  # never clobber another platform's recorded anchor
+        or overrides
+        or step_mode != default_mode
+        or not donate
+        or scale != 1
     ):
         baseline = value  # A/B runs never create the baseline file
     if baseline is None:
