@@ -16,6 +16,7 @@ from os.path import join
 
 import numpy as np
 
+from cpcsv_tpu.data.pororo import _SeededDraws
 from cpcsv_tpu.data.transforms import normalize_image, video_transform
 
 try:
@@ -85,8 +86,10 @@ class ClevrImageDataset:
         imsize=64,
         sesize=64,
         use_segment=False,
+        seed: int = 0,
     ):
         self.dir_path = image_path
+        self._draws = _SeededDraws(seed)
         self.descriptions = _load_dict(image_path)
         self.video_len = video_len
         self.imsize = imsize
@@ -102,7 +105,7 @@ class ClevrImageDataset:
 
     def __getitem__(self, item):
         story_id = self.srt + item
-        rng = np.random.default_rng()
+        rng = self._draws.child()
         t = int(rng.integers(1, self.video_len + 1))
 
         path = join(self.dir_path, "CLEVR_new_%06d_%d.png" % (story_id, t))

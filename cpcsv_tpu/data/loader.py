@@ -64,7 +64,10 @@ class DataLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
-        if self.drop_last:
+        if self.drop_last or self.process_count > 1:
+            # multi-host: a partial final global batch cannot be split
+            # evenly across hosts (empty/truncated local slices) — drop it
+            # like drop_last (each host must agree on the batch count)
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 

@@ -4,7 +4,8 @@ reference (`datasets/pororo.py`):
   DATA_DIR/
     <episode dirs>/<frame>.png      vertical strips of square frames
     labels.npy                      dict id -> 9-dim character one-hot
-    frames_counter.npy              dict "/<episode>/" -> frame count
+    frames_counter.npy              dict "<episode>/" -> frame count
+                                    (leading-slash keys also accepted)
     img_cache4.npy following_cache4.npy   clip index caches
     train_test_ids.npy              (train_ids, test_ids)
     descriptions_vec.npy (128-d), descriptions_attr.npy (228-d),
@@ -19,6 +20,7 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 from os.path import exists, join
 
 import numpy as np
@@ -33,6 +35,40 @@ except ImportError:  # pragma: no cover
 
 def _load_npy_dict(path):
     return np.load(path, allow_pickle=True, encoding="latin1").item()
+
+
+def _frame_keyed(d: dict) -> dict:
+    """Normalize frame-id dict keys to the canonical no-leading-slash form
+    ("ep/1") so artifacts produced under either DATA_DIR slash convention
+    load interchangeably."""
+    return {_decode(k).lstrip("/"): v for k, v in d.items()}
+
+
+class _SeededDraws:
+    """Deterministic per-call child RNGs from one seeded master generator.
+
+    The reference seeds numpy globally at CLI start; here each dataset owns
+    a master rng (seed actually USED — it was dead plumbing before) and
+    spawns a child per __getitem__ call, so sampling re-randomizes across
+    epochs yet two runs with the same manualSeed see the same stream.
+    Thread-safe (the DataLoader producer threads share dataset instances)."""
+
+    def __init__(self, seed: int):
+        self._master = np.random.default_rng(seed)
+        self._lock = threading.Lock()
+
+    def child(self) -> np.random.Generator:
+        with self._lock:
+            return np.random.default_rng(int(self._master.integers(0, 2**63)))
+
+
+def _atomic_save(path: str, arr: np.ndarray) -> None:
+    """np.save via temp file + os.replace so readers never see a partial
+    file (shared DATA_DIR, concurrent multi-host cache builds)."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    np.save(tmp, arr)
+    # np.save appends .npy when missing — our cache paths already carry it
+    os.replace(tmp if tmp.endswith(".npy") else f"{tmp}.npy", path)
 
 
 def _decode(v) -> str:
@@ -50,8 +86,14 @@ class VideoFolderDataset:
 
     def __init__(self, folder, counter=None, cache=None, min_len=4, data_type="train"):
         assert data_type in ("train", "test", "valid")
+        # Normalize to a TRAILING separator — the reference's canonical form
+        # (its `folder + 'img_cache4.npy'` concats only work with one,
+        # reference datasets/pororo.py:44-46), so frame names are stored as
+        # "<ep>/<n>.png" and consumers do `dir_path + v_name`. Passing
+        # DATA_DIR without the slash used to silently build an EMPTY index.
+        folder = folder.rstrip(os.sep) + os.sep
         self.dir_path = folder
-        self.labels = _load_npy_dict(join(folder, "labels.npy"))
+        self.labels = _frame_keyed(_load_npy_dict(join(folder, "labels.npy")))
 
         img_cache = join(cache or folder, f"img_cache{min_len}.npy")
         follow_cache = join(cache or folder, f"following_cache{min_len}.npy")
@@ -60,8 +102,16 @@ class VideoFolderDataset:
             self.followings = np.load(follow_cache, allow_pickle=True, encoding="latin1")
         else:
             self.images, self.followings = self._build_index(folder, counter, min_len)
-            np.save(img_cache, np.array(self.images, dtype=object))
-            np.save(follow_cache, np.array(self.followings, dtype=object))
+            if not self.images:
+                raise RuntimeError(
+                    f"Pororo clip index is EMPTY for {folder!r} — check DATA_DIR "
+                    "and frames_counter.npy keys (refusing to cache an empty "
+                    "index)"
+                )
+            # atomic writes: concurrent multi-host first runs must never
+            # expose a partially written cache to another host's np.load
+            _atomic_save(img_cache, np.array(self.images, dtype=object))
+            _atomic_save(follow_cache, np.array(self.followings, dtype=object))
             self.images = np.array(self.images, dtype=object)
             self.followings = np.array(self.followings, dtype=object)
 
@@ -75,6 +125,11 @@ class VideoFolderDataset:
     @staticmethod
     def _build_index(folder, counter, min_len):
         images, followings = [], []
+        # accept both frames_counter key conventions: the trailing-slash
+        # DATA_DIR form "ep/" (reference-canonical) and the leading-slash
+        # "/ep/" form (what a no-trailing-slash reference run produces)
+        if counter is not None:
+            counter = {str(k).lstrip("/"): v for k, v in counter.items()}
         # deterministic class-dir walk (replaces torchvision ImageFolder scan)
         entries = []
         for d in sorted(os.listdir(folder)):
@@ -85,7 +140,7 @@ class VideoFolderDataset:
                 if f.endswith(".png"):
                     entries.append(join(full, f))
         for img_path in entries:
-            v_name = img_path.replace(folder, "")
+            v_name = img_path.replace(folder, "")  # "<ep>/<n>.png"
             episode = re.sub(r"[0-9]+.png", "", v_name)
             if counter is None or episode not in counter:
                 continue  # non-episode dirs (e.g. img_segment/) are skipped
@@ -117,10 +172,10 @@ class VideoFolderDataset:
 
 class _TextArtifacts:
     def __init__(self, textvec):
-        self.descriptions = _load_npy_dict(join(textvec, "descriptions_vec.npy"))
-        self.attributes = _load_npy_dict(join(textvec, "descriptions_attr.npy"))
-        self.subtitles = _load_npy_dict(join(textvec, "subtitles_vec.npy"))
-        self.descriptions_original = _load_npy_dict(join(textvec, "descriptions.npy"))
+        self.descriptions = _frame_keyed(_load_npy_dict(join(textvec, "descriptions_vec.npy")))
+        self.attributes = _frame_keyed(_load_npy_dict(join(textvec, "descriptions_attr.npy")))
+        self.subtitles = _frame_keyed(_load_npy_dict(join(textvec, "subtitles_vec.npy")))
+        self.descriptions_original = _frame_keyed(_load_npy_dict(join(textvec, "descriptions.npy")))
 
     def pick(self, rng, frame_id):
         """Random description index when several exist (reference :122-127)."""
@@ -137,17 +192,17 @@ class StoryDataset:
         self.text = _TextArtifacts(textvec)
         self.labels = dataset.labels
         self.imsize = imsize
-        self.seed = seed
+        self._draws = _SeededDraws(seed)
 
     def __len__(self):
         return len(self.dataset)
 
     def __getitem__(self, item):
-        rng = np.random.default_rng()
+        rng = self._draws.child()
         lists = self.dataset[item]
         frames, des, subs, labels, attri, raw = [], [], [], [], [], []
         for v in lists:
-            v = _decode(v)
+            v = _decode(v).lstrip("/")  # tolerate either cache convention
             frame_id = v.replace(".png", "")
             im = Image.open(self.dir_path + frame_id + ".png").convert("RGB")
             frames.append(np.array(self.dataset.sample_image(im, rng)))
@@ -192,14 +247,18 @@ class ImageDataset:
         self.sesize = sesize
         self.use_segment = use_segment
         self.segment_name = segment_name
+        self._draws = _SeededDraws(seed)
 
     def __len__(self):
         return len(self.dataset)
 
     def __getitem__(self, item):
-        rng = np.random.default_rng()
+        # NB the seg mask and the image each draw their own random strip
+        # crop below — a reference quirk preserved (reference sample_image
+        # calls np.random independently per call, pororo.py:54-58,181-189)
+        rng = self._draws.child()
         lists = self.dataset[item]
-        sub_path = _decode(lists[0])
+        sub_path = _decode(lists[0]).lstrip("/")  # either cache convention
         frame_id = sub_path.replace(".png", "")
 
         out = {}
@@ -227,7 +286,7 @@ class ImageDataset:
 
         content, attri_c, label_c = [], [], []
         for v in lists:
-            vid = _decode(v).replace(".png", "")
+            vid = _decode(v).lstrip("/").replace(".png", "")
             n = len(self.text.descriptions[vid])
             se = int(rng.integers(0, n)) if n > 1 else 0
             content.append(self.text.descriptions[vid][se])

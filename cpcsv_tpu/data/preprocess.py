@@ -25,14 +25,29 @@ def extract_frames(in_gif: str, out_png: str) -> int:
     return 1
 
 
+def _numeric_key(filename: str):
+    """Sort key preserving TEMPORAL order for numerically named files:
+    lexicographic sort would order 1,10,11,...,2,... and silently scramble
+    the frame sequence for any episode with 10+ scenes."""
+    stem = filename.rsplit(".", 1)[0]
+    try:
+        return (0, int(stem), filename)
+    except ValueError:
+        return (1, 0, filename)
+
+
 def extract_all(scene_dir: str, out_dir: str) -> int:
-    """Walk SceneDialogues/*/*.gif, dump {episode}/{i}.png."""
+    """Walk SceneDialogues/*/*.gif, dump {episode}/{i}.png in temporal
+    (numeric) scene order."""
     count = 0
     for ep in sorted(os.listdir(scene_dir)):
         ep_dir = join(scene_dir, ep)
         if not os.path.isdir(ep_dir):
             continue
-        for i, gif in enumerate(sorted(f for f in os.listdir(ep_dir) if f.endswith(".gif"))):
+        gifs = sorted(
+            (f for f in os.listdir(ep_dir) if f.endswith(".gif")), key=_numeric_key
+        )
+        for i, gif in enumerate(gifs):
             count += extract_frames(join(ep_dir, gif), join(out_dir, ep, f"{i+1}.png"))
     return count
 

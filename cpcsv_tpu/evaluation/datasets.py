@@ -94,6 +94,7 @@ class StoryGANDataset:
         self.chunk = chunk
         self.rng = rng
         self._cache: dict[int, np.ndarray] = {}
+        self._real_cache: dict[int, np.ndarray] = {}
 
         @jax.jit
         def _gen(variables, motion, content, key):
@@ -107,6 +108,11 @@ class StoryGANDataset:
     def __len__(self):
         return len(self.ds)
 
+    # subclasses set True to also keep the REAL frames of the exact dataset
+    # item the generation consumed (a second ds[i] fetch would redraw random
+    # crops/descriptions AND pay another decode)
+    keep_real = False
+
     def _generate_chunk(self, start: int):
         idxs = list(range(start, min(start + self.chunk, len(self.ds))))
         motions, contents = [], []
@@ -116,6 +122,8 @@ class StoryGANDataset:
             labels = np.asarray(item["labels"], np.float32)
             motions.append(np.concatenate([desc, labels], axis=1))
             contents.append(desc)
+            if self.keep_real:
+                self._real_cache[i] = np.asarray(item["images"], np.float32)
         motion = jnp.asarray(np.stack(motions))
         content = jnp.asarray(np.stack(contents))
         key = jax.random.fold_in(self.rng, start)
@@ -132,9 +140,15 @@ class StoryGANDataset:
 
 
 class StoryGANSSIMDataset(StoryGANDataset):
-    """(fake, real) pairs for SSIM (reference utils.py StoryGANSSIMDataset)."""
+    """(fake, real) pairs for SSIM (reference utils.py StoryGANSSIMDataset).
+
+    The real story is the SAME dataset item the generation consumed (kept
+    during _generate_chunk) — re-fetching ds[index] would redraw the random
+    strip crops / description picks and score the fake against a different
+    real sample."""
+
+    keep_real = True
 
     def __getitem__(self, index):
         fake = super().__getitem__(index)
-        real = np.asarray(self.ds[index]["images"], np.float32)
-        return fake, real
+        return fake, self._real_cache[index]

@@ -287,17 +287,26 @@ def evaluate_fid_fsd_in_memory(cfg, net_g, gen_vars, testloader, rng,
     fid_ex = make_inception_extractor(fid_weights)
     fsd_ex = make_fsd_extractor(fsd_weights)
     # real-side caches are keyed by the extractor weights fingerprint inside
-    # activation_statistics — random-init stats can never leak into a
-    # real-weights run (round-1 stale-cache hazard)
+    # activation_statistics (random-init stats can never leak into a
+    # real-weights run) AND by a dataset identity tag here — without it, a
+    # CLEVR or different-split run from the same CWD would silently reuse
+    # Pororo real-side statistics (the reference's unkeyed '.cache/*.npz'
+    # has exactly that hazard, trainer.py:160-174)
+    ds_tag = "{}_{}_{}x{}".format(
+        os.path.basename(str(cfg.DATA_DIR).rstrip("/")) or "data",
+        len(testdataset),
+        cfg.IMSIZE,
+        cfg.VIDEO_LEN,
+    )
     fsd = fsd_score(
         real_ds, gen_ds, batch_size=bs,
-        r_cache=".cache/seg_story_vfid_reference_score.npz",
+        r_cache=f".cache/seg_story_vfid_reference_score.{ds_tag}.npz",
         extractor=fsd_ex,
     )
     fid = fid_score(
         real_ds, gen_ds, batch_size=min(50, len(testdataset) * cfg.VIDEO_LEN),
         normalize=True,
-        r_cache=".cache/seg_story_fid_reference_score.npz",
+        r_cache=f".cache/seg_story_fid_reference_score.{ds_tag}.npz",
         extractor=fid_ex,
     )
     return {

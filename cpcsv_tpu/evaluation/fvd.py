@@ -119,6 +119,21 @@ def calculate_fvd(
     gen = VideoGenerateDataset(gen_path, frames_per_video)
     ref = VideoGenerateDataset(ref_path, frames_per_video)
     n = min(num_of_video, len(gen), len(ref))
+    if n < batch_size:
+        raise ValueError(
+            f"FVD needs at least {batch_size} clips per side; got "
+            f"gen={len(gen)} ref={len(ref)} under {gen_path!r}/{ref_path!r}"
+        )
+    if n % batch_size != 0:
+        import warnings
+
+        n_round = (n // batch_size) * batch_size
+        warnings.warn(
+            f"FVD clip count {n} not divisible by {batch_size} — using the "
+            f"first {n_round} clips per side (reference invariant fvd/fvd.py:55)",
+            stacklevel=2,
+        )
+        n = n_round
 
     class Head:
         def __init__(self, ds, n):

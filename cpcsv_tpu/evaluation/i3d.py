@@ -181,7 +181,7 @@ def make_i3d_embedder(weights_path: str | None = None):
         variables = load_torch_i3d_state_dict(W.load_state_dict(path))
     else:
         W.warn_random_init("i3d_kinetics400")
-        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 64, 64, 3)))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 10, 64, 64, 3)))
 
     @jax.jit
     def _embed(x):

@@ -251,8 +251,18 @@ def make_inception_classifier(weights_path: str | None = None, num_classes: int 
             fc_b = np.asarray(sd["fc.bias"])
     else:
         W.warn_random_init("inception_fid")
-        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
-    if fc_w is None:
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    fc_random = fc_w is None
+    if fc_random:
+        if path is not None:
+            import warnings
+
+            warnings.warn(
+                f"weights file {path} has no fc.weight — the Inception-Score "
+                "classification head is RANDOM; the result is tagged "
+                "random_init=True",
+                stacklevel=2,
+            )
         rng = np.random.default_rng(0)
         fc_w = (rng.standard_normal((2048, num_classes)) * 0.02).astype(np.float32)
         fc_b = np.zeros((num_classes,), np.float32)
@@ -266,7 +276,9 @@ def make_inception_classifier(weights_path: str | None = None, num_classes: int 
     def classify(x):
         return _classify(x)
 
-    classify.random_init = path is None
+    # random whenever EITHER the trunk or the fc head lacks real weights —
+    # a trunk-only checkpoint must not masquerade as a real IS
+    classify.random_init = path is None or fc_random
     classify.fingerprint = W.weights_fingerprint(path)
     return classify
 
@@ -286,7 +298,7 @@ def make_inception_extractor(weights_path: str | None = None, batch_size: int = 
         variables = load_torch_inception_state_dict(W.load_state_dict(path))
     else:
         W.warn_random_init("inception_fid")
-        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
 
     @jax.jit
     def _extract(x):

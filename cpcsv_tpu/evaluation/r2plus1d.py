@@ -181,7 +181,7 @@ def make_fsd_extractor(weights_path: str | None = None):
         variables = load_torch_r2plus1d_state_dict(W.load_state_dict(path))
     else:
         W.warn_random_init("r2plus1d_18")
-        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 64, 64, 3)))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 5, 64, 64, 3)))
 
     @jax.jit
     def _extract(x):

@@ -21,7 +21,9 @@ def _make_fake_pororo(root, n_episodes=2, frames_per_ep=8, text_dim=128, attr_di
         ep_dir = os.path.join(root, ep_name)
         os.makedirs(ep_dir, exist_ok=True)
         os.makedirs(os.path.join(root, "img_segment"), exist_ok=True)
-        counter[f"{ep_name}/"] = frames_per_ep
+        # reference artifact format: keys are "/<episode>/" WITH slashes
+        # (build_frames_counter writes the same; datasets/pororo.py:21-45)
+        counter[f"/{ep_name}/"] = frames_per_ep
         for i in range(1, frames_per_ep + 1):
             # vertical strip of 2 square frames, 32x32 each
             strip = rng.integers(0, 255, (64, 32, 3), dtype=np.uint8)
@@ -86,3 +88,72 @@ def test_pororo_loaders_end_to_end(tmp_path):
     # second construction hits the cache
     imageloader2, _, _ = build_pororo_loaders(cfg)
     assert len(imageloader2.dataset) == len(imageloader.dataset)
+
+
+def test_trailing_slash_data_dir_same_index(tmp_path):
+    """A trailing slash in DATA_DIR must not change the clip index (it used
+    to silently produce — and cache — an EMPTY index because the episode
+    key lost its leading slash)."""
+    from cpcsv_tpu.data.pororo import VideoFolderDataset
+
+    root, counter = _make_fake_pororo(tmp_path / "a")
+    base = root.rstrip("/")
+    ds_no_slash = VideoFolderDataset(base, counter, data_type="train")
+    # fresh dir so the cache of the first build is not reused
+    root2, counter2 = _make_fake_pororo(tmp_path / "b")
+    ds_slash = VideoFolderDataset(root2, counter2, data_type="train")  # has "/"
+    assert len(ds_no_slash) == len(ds_slash) > 0
+    assert list(ds_no_slash.images) == list(ds_slash.images)
+
+
+def test_empty_index_refuses_to_cache(tmp_path):
+    """Wrong counter keys -> loud error, and no empty cache file left behind."""
+    import pytest as _pytest
+
+    from cpcsv_tpu.data.pororo import VideoFolderDataset
+
+    root, _ = _make_fake_pororo(tmp_path)
+    with _pytest.raises(RuntimeError, match="EMPTY"):
+        VideoFolderDataset(root, {"/not-a-real-episode/": 8}, data_type="train")
+    assert not os.path.exists(os.path.join(root, "img_cache4.npy"))
+
+
+def test_dataset_sampling_is_seed_deterministic(tmp_path):
+    """Same seed -> identical sampled batches; different seed -> different
+    (the seed plumbing used to be dead)."""
+    from cpcsv_tpu.data.pororo import (
+        ImageDataset,
+        StoryDataset,
+        VideoFolderDataset,
+    )
+
+    root, counter = _make_fake_pororo(tmp_path)
+    base = VideoFolderDataset(root, counter, data_type="train")
+
+    def grab(seed):
+        ds = StoryDataset(base, root, imsize=32, seed=seed)
+        return np.stack([np.asarray(ds[i]["images"]) for i in range(3)])
+
+    a, b, c = grab(7), grab(7), grab(8)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_gif_extract_preserves_numeric_order(tmp_path):
+    """extract_all must order 10.gif AFTER 9.gif (lexicographic sort used to
+    scramble the temporal sequence for episodes with 10+ scenes)."""
+    from PIL import Image as PILImage
+
+    from cpcsv_tpu.data.preprocess import extract_all
+
+    scene = tmp_path / "scenes" / "ep1"
+    scene.mkdir(parents=True)
+    # 12 gifs, each a solid color encoding its index
+    for i in range(1, 13):
+        PILImage.new("RGB", (4, 4), (i * 20 % 256, 0, 0)).save(scene / f"{i}.gif")
+    out = tmp_path / "out"
+    n = extract_all(str(tmp_path / "scenes"), str(out))
+    assert n == 12
+    for i in range(1, 13):
+        px = PILImage.open(out / "ep1" / f"{i}.png").getpixel((0, 0))
+        assert px[0] == i * 20 % 256, f"frame {i} out of order: {px}"

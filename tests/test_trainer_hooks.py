@@ -33,7 +33,11 @@ def test_ssim_and_vfid_hooks(tmp_path):
     assert scores["fid_random_init"] is True
     assert scores["fsd_random_init"] is True
     # real-side statistics are cached like the reference (trainer.py:165-169),
-    # with the cache file keyed by the extractor weights fingerprint
-    assert os.path.exists(
-        ".cache/seg_story_vfid_reference_score.random-init.npz"
-    )
+    # keyed by a dataset identity tag AND the extractor weights fingerprint
+    cached = [
+        f
+        for f in os.listdir(".cache")
+        if f.startswith("seg_story_vfid_reference_score.")
+        and f.endswith(".random-init.npz")
+    ]
+    assert cached, "tagged real-side FSD stats cache was not written"
