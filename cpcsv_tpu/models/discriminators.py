@@ -26,6 +26,17 @@ from cpcsv_tpu.ops.spectral_norm import SNConv
 from cpcsv_tpu.models.video_encoder import VideoEncoder
 
 
+def _pairwise_cond_logits(get_cond_logits, features, conditions, train):
+    """(B, B) matrix of conditional logits for every (feature_i, cond_j)
+    pair — one batched head call over B^2 rows (InfoNCE extension; shared
+    by the image/seg and story discriminators)."""
+    B = features.shape[0]
+    feat_rep = jnp.repeat(features, B, axis=0)  # i-major
+    cond_tile = jnp.tile(conditions, (B, 1))
+    logits = get_cond_logits(feat_rep, cond_tile, train=train)
+    return logits.reshape(B, B)
+
+
 class _Encoder64(nn.Module):
     """64x64xC -> 4x4x(ndf*8) conv stack: 4x (conv4x4 s2) with LeakyReLU(0.2);
     spectral norm on layers 2-4 (and optionally layer 1, story D)."""
@@ -164,13 +175,7 @@ class ImageDiscriminator(nn.Module):
         return fake_logits, cate
 
     def pairwise_cond_logits(self, features, conditions, train: bool = True):
-        """(B, B) matrix of conditional logits for every (feature_i, cond_j)
-        pair — one batched head call over B^2 rows (InfoNCE extension)."""
-        B = features.shape[0]
-        feat_rep = jnp.repeat(features, B, axis=0)  # i-major
-        cond_tile = jnp.tile(conditions, (B, 1))
-        logits = self.get_cond_logits(feat_rep, cond_tile, train=train)
-        return logits.reshape(B, B)
+        return _pairwise_cond_logits(self.get_cond_logits, features, conditions, train)
 
     def d_phase_infonce(self, real, fake, cond, train: bool = True):
         """D-update forwards, InfoNCE variant (cfg.USE_INFONCE): the full
@@ -258,12 +263,7 @@ class StoryDiscriminator(nn.Module):
         return fake_logits, cons_fake, cons_real
 
     def pairwise_cond_logits(self, features, conditions, train: bool = True):
-        """(B, B) conditional-logit matrix (InfoNCE extension)."""
-        B = features.shape[0]
-        feat_rep = jnp.repeat(features, B, axis=0)
-        cond_tile = jnp.tile(conditions, (B, 1))
-        logits = self.get_cond_logits(feat_rep, cond_tile, train=train)
-        return logits.reshape(B, B)
+        return _pairwise_cond_logits(self.get_cond_logits, features, conditions, train)
 
     def d_phase_infonce(self, real, fake, cond, shuffled=None, train: bool = True):
         """InfoNCE variant of d_phase (cfg.USE_INFONCE)."""

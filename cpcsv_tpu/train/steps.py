@@ -90,7 +90,7 @@ def _sample_all(cfg: Config, net_g, gen_vars, rng, st_batch, im_batch, want_late
     return st_out, im_out, gen_vars
 
 
-def make_train_steps(cfg: Config, models, jit: bool = True):
+def make_train_steps(cfg: Config, models, jit: bool = True, ratio: float = 1.0):
     """Returns (d_step, g_step), jitted unless jit=False (raw pure fns for
     composition, e.g. scanning many steps inside one program).
 
@@ -109,7 +109,8 @@ def make_train_steps(cfg: Config, models, jit: bool = True):
     tx = make_adam()
     use_segment = cfg.SEGMENT_LEARNING
     cascade = cfg.CASCADE_MODEL
-    ratio = 1.0  # reference main_pororo.py:137 always passes 1.0
+    # `ratio` weights the story/seg G-loss group (reference GANTrainer's
+    # ratio argument; main_pororo.py:137 always passes 1.0)
     seg_w, img_w = cfg.SEGMENT_RATIO, cfg.IMAGE_RATIO
     kl_coeff = cfg.TRAIN.COEFF.KL
 
@@ -391,7 +392,7 @@ def make_train_steps(cfg: Config, models, jit: bool = True):
     return d_step_jit, g_step_jit
 
 
-def make_scan_steps(cfg: Config, models, donate: bool = True):
+def make_scan_steps(cfg: Config, models, donate: bool = True, ratio: float = 1.0):
     """K alternating D+G updates in ONE jitted dispatch via lax.scan.
 
     MEASURED on v5e (readback-verified, 2026-08-16, deconv decode): 77.9
@@ -408,7 +409,7 @@ def make_scan_steps(cfg: Config, models, donate: bool = True):
     and every metric leaf returned stacked over K (so the trainer can log
     each step at the reference cadence).
     """
-    raw_d, raw_g = make_train_steps(cfg, models, jit=False)
+    raw_d, raw_g = make_train_steps(cfg, models, jit=False, ratio=ratio)
 
     def body(state, x):
         key, st_batch, im_batch, lr_d, lr_g = x

@@ -88,11 +88,13 @@ class GANTrainer:
 
         self.mesh = make_mesh(cfg.MESH_SHAPE)
         self.models = build_models(cfg)
-        self.d_step, self.g_step = make_train_steps(cfg, self.models)
+        self.d_step, self.g_step = make_train_steps(cfg, self.models, ratio=ratio)
         # cfg.SCAN_STEPS > 1: K alternating updates per dispatch (measured
         # faster; semantics identical — see make_scan_steps)
         self.scan_steps = (
-            make_scan_steps(cfg, self.models) if cfg.SCAN_STEPS > 1 else None
+            make_scan_steps(cfg, self.models, ratio=ratio)
+            if cfg.SCAN_STEPS > 1
+            else None
         )
         self.ckpt = CheckpointManager(self.model_dir)
         self.logger = MetricsLogger(self.log_dir)
@@ -121,25 +123,55 @@ class GANTrainer:
         state = create_train_state(cfg, rng, self.models)
 
         if cfg.NET_G:
-            # warm-start generator params from a checkpoint dir (reference
-            # trainer.py:109-114 NET_G preload)
+            # warm-start generator from a snapshot dir (reference
+            # trainer.py:109-114 NET_G preload). Our netG_epoch_E snapshots
+            # store the FULL {params, batch_stats, spectral} variables dict
+            # (checkpoint.py:35-41) — restoring against a params-only
+            # template would fail on the tree mismatch and, for a legacy
+            # params-only dir, silently drop BN/spectral state.
             import orbax.checkpoint as ocp
 
-            g_params = ocp.PyTreeCheckpointer().restore(
-                os.path.abspath(cfg.NET_G), item=state.gen.params
-            )
-            state = state.replace(gen=state.gen.replace(params=g_params))
+            template = state.gen.variables()
+            try:
+                g_vars = ocp.PyTreeCheckpointer().restore(
+                    os.path.abspath(cfg.NET_G), item=template
+                )
+                state = state.replace(
+                    gen=state.gen.replace(
+                        params=g_vars["params"],
+                        batch_stats=g_vars["batch_stats"],
+                        spectral=g_vars["spectral"],
+                    )
+                )
+            except Exception:
+                # legacy params-only snapshot: params restore, stats warned
+                g_params = ocp.PyTreeCheckpointer().restore(
+                    os.path.abspath(cfg.NET_G), item=state.gen.params
+                )
+                state = state.replace(gen=state.gen.replace(params=g_params))
+                import warnings
+
+                warnings.warn(
+                    f"NET_G={cfg.NET_G} is a params-only snapshot; BN running "
+                    "stats and spectral-norm state start from init",
+                    stacklevel=2,
+                )
             print("Load netG from:", cfg.NET_G)
 
         start_epoch = 0
         if self.continue_ckpt == "auto":
-            # crash-resume: pick up from the last saved full state
+            # crash-resume: pick up AFTER the last fully saved epoch (the
+            # checkpoint is written once that epoch completed — resuming AT
+            # it would train it twice)
             last = self.ckpt.last_epoch()
             if last is not None:
                 state = self.ckpt.restore(state)
-                start_epoch = last
+                start_epoch = last + 1
                 print(f"Auto-resume from epoch {start_epoch}")
         elif self.continue_ckpt:
+            # explicit --continue_ckpt E keeps the REFERENCE semantics
+            # (trainer.py:232-235): training restarts AT epoch E, i.e. the
+            # checkpointed epoch is re-trained — a preserved quirk
             state = self.ckpt.restore(state, epoch=int(self.continue_ckpt))
             start_epoch = int(self.continue_ckpt)
             print(f"Continue training from epoch {start_epoch}")
@@ -185,6 +217,7 @@ class GANTrainer:
                         step,
                     )
 
+            trace_active = False
             if self.scan_steps is None:
 
                 def put(pair):
@@ -201,11 +234,13 @@ class GANTrainer:
                     rng, k_d, k_g = jax.random.split(rng, 3)
                     if profile_dir and i == 2:
                         jax.profiler.start_trace(profile_dir)
+                        trace_active = True
                     state, d_metrics = self.d_step(state, k_d, st_batch, im_batch, lr_d)
                     state, g_metrics = self.g_step(state, k_g, st_batch, im_batch, lr_g)
                     if profile_dir and i == 5:
                         jax.block_until_ready(state)
                         jax.profiler.stop_trace()
+                        trace_active = False
                         profile_dir = None
                         self._profile_pending = None
                     # one device->host transfer for all scalars (not per tag)
@@ -277,6 +312,11 @@ class GANTrainer:
                         i += 1
                         count += 1
 
+            if trace_active:  # epoch ended mid-trace (short epoch)
+                jax.block_until_ready(state)
+                jax.profiler.stop_trace()
+                self._profile_pending = None
+
             # ---- epoch sample grid (reference trainer.py:437-444)
             if last_st_batch is not None:
                 self._log_epoch_samples(state, epoch, *last_st_batch, rng)
@@ -335,15 +375,14 @@ class GANTrainer:
             jax.numpy.asarray(st_batch_host["description"]),
             rng,
         )
-        out = type("O", (), {"image": image, "seg": seg})
-        fake = np.asarray(out.image)
+        fake = np.asarray(image)
         grid = save_story_results(
             st_batch_host["images"], fake, st_batch_host.get("text"),
             f"{epoch:03d}", self.image_dir,
         )
         self.logger.add_image("pororo", grid, epoch)
-        if cfg.SEGMENT_LEARNING and out.seg is not None:
-            seg_grid = save_image_results(None, np.asarray(out.seg), cfg.VIDEO_LEN)
+        if cfg.SEGMENT_LEARNING and seg is not None:
+            seg_grid = save_image_results(None, np.asarray(seg), cfg.VIDEO_LEN)
             self.logger.add_image("segment", seg_grid, epoch)
 
     # ------------------------------------------------------------------

@@ -94,3 +94,21 @@ def test_train_one_epoch_and_resume(tmp_path):
     state2 = trainer2.train(imageloader, storyloader, testloader)
     # restored step counter + one more epoch of steps
     assert int(state2.step) == 2 * len(storyloader)
+
+
+def test_auto_resume_skips_completed_epoch(tmp_path):
+    """continue_ckpt='auto' must resume AFTER the last saved epoch (the
+    snapshot is written once that epoch completed); it used to re-train it."""
+    cfg = tiny_cfg(tmp_path, cascade=False)
+    out_dir = str(tmp_path / "run_auto")
+    imageloader, storyloader, testloader = make_loaders(cfg)
+
+    trainer = GANTrainer(cfg, out_dir, seed=0)
+    state = trainer.train(imageloader, storyloader, testloader)
+    steps_per_epoch = len(storyloader)
+    assert int(state.step) == steps_per_epoch  # 1 epoch trained
+
+    # same max_epoch: everything already trained -> auto-resume is a no-op
+    trainer2 = GANTrainer(cfg, out_dir, continue_ckpt="auto", seed=0)
+    state2 = trainer2.train(imageloader, storyloader, testloader)
+    assert int(state2.step) == steps_per_epoch  # no duplicated epoch
