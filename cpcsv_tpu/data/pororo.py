@@ -309,7 +309,10 @@ def build_pororo_loaders(cfg, seed: int = 0):
     dir_path = cfg.DATA_DIR
     counter = _load_npy_dict(join(dir_path, "frames_counter.npy"))
     base = VideoFolderDataset(dir_path, counter, cache=dir_path, min_len=4, data_type="train")
-    story = StoryDataset(base, dir_path, cfg.IMSIZE)
+    # distinct seed offsets per dataset so manualSeed actually drives the
+    # crop/description sampling streams (the reference seeds numpy globally
+    # at CLI start; loaders below use seed..seed+2 for shuffling)
+    story = StoryDataset(base, dir_path, cfg.IMSIZE, seed=seed + 10)
     image = ImageDataset(
         base,
         dir_path,
@@ -317,9 +320,10 @@ def build_pororo_loaders(cfg, seed: int = 0):
         cfg.SESIZE,
         use_segment=cfg.SEGMENT_LEARNING,
         segment_name=cfg.TRAIN.SEGMENT_NAME,
+        seed=seed + 11,
     )
     base_test = VideoFolderDataset(dir_path, counter, cache=dir_path, min_len=4, data_type="test")
-    test_story = StoryDataset(base_test, dir_path, cfg.IMSIZE)
+    test_story = StoryDataset(base_test, dir_path, cfg.IMSIZE, seed=seed + 12)
 
     imageloader = DataLoader(
         image, cfg.TRAIN.IM_BATCH_SIZE * n_dev, shuffle=True, drop_last=True,

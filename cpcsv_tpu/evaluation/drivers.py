@@ -272,20 +272,27 @@ class Infer:
 
 
 # --------------------------------------------------------------------------
-def evaluate_fid_fsd_in_memory(cfg, net_g, gen_vars, testloader, rng,
-                               fid_weights=None, fsd_weights=None):
-    """In-training eval hook (reference trainer.py:160-174 calculate_vfid):
-    wraps the generator as a dataset and computes FID + FSD without dumping
-    pngs. Real-side stats cached under .cache/ like the reference."""
+def make_in_memory_extractors(fid_weights=None, fsd_weights=None):
+    """Build the FID + FSD extractors once; the trainer holds these across
+    epochs so the per-epoch hook doesn't rebuild/re-jit them (and re-warn on
+    random init) every epoch."""
     from cpcsv_tpu.evaluation.inception import make_inception_extractor
     from cpcsv_tpu.evaluation.r2plus1d import make_fsd_extractor
 
+    return make_inception_extractor(fid_weights), make_fsd_extractor(fsd_weights)
+
+
+def evaluate_fid_fsd_in_memory(cfg, net_g, gen_vars, testloader, rng,
+                               fid_weights=None, fsd_weights=None,
+                               extractors=None):
+    """In-training eval hook (reference trainer.py:160-174 calculate_vfid):
+    wraps the generator as a dataset and computes FID + FSD without dumping
+    pngs. Real-side stats cached under .cache/ like the reference."""
     testdataset = testloader.dataset
     gen_ds = StoryGANDataset(net_g, gen_vars, testdataset, rng, cfg.TEXT.DIMENSION)
     real_ds = IgnoreLabelDataset(testdataset)
     bs = min(50, len(testdataset))
-    fid_ex = make_inception_extractor(fid_weights)
-    fsd_ex = make_fsd_extractor(fsd_weights)
+    fid_ex, fsd_ex = extractors or make_in_memory_extractors(fid_weights, fsd_weights)
     # real-side caches are keyed by the extractor weights fingerprint inside
     # activation_statistics (random-init stats can never leak into a
     # real-weights run) AND by a dataset identity tag here — without it, a

@@ -193,4 +193,5 @@ def make_i3d_embedder(weights_path: str | None = None):
 
     embed.random_init = path is None
     embed.fingerprint = W.weights_fingerprint(path)
+    embed.backbone = "i3d"
     return embed

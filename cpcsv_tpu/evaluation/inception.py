@@ -309,4 +309,5 @@ def make_inception_extractor(weights_path: str | None = None, batch_size: int = 
 
     extract.random_init = path is None
     extract.fingerprint = W.weights_fingerprint(path)
+    extract.backbone = "inception_fid"
     return extract

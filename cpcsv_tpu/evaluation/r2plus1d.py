@@ -192,4 +192,5 @@ def make_fsd_extractor(weights_path: str | None = None):
 
     extract.random_init = path is None
     extract.fingerprint = W.weights_fingerprint(path)
+    extract.backbone = "r2plus1d"
     return extract

@@ -29,20 +29,28 @@ class CheckpointManager:
     def _path(self, name: str) -> str:
         return os.path.join(self.model_dir, name)
 
-    def save(self, state: TrainState, epoch: int):
+    def save(self, state: TrainState, epoch: int, completed: Optional[int] = None):
         """netG per-epoch snapshot + full train state at 'last'.
 
         The per-epoch snapshot carries params AND batch_stats/spectral: the
         reference's netG_epoch_E.pth is a full state_dict including BN
         running stats (miscc/utils.py:323-338), so per-epoch eval must not
         borrow BN statistics from a different (latest) state.
-        """
+
+        `completed` is the last fully trained epoch index recorded in
+        last_epoch.txt for auto-resume. It defaults to `epoch` (in-loop saves
+        label the completed epoch), but the END-of-run save keeps the
+        reference's netG_epoch_{MAX_EPOCH} snapshot name (trainer.py:482-485
+        saves one past the last trained index) while recording
+        completed=MAX_EPOCH-1 — otherwise re-running a finished run with a
+        raised MAX_EPOCH would resume at old_max+1 and silently skip epoch
+        old_max."""
         self._ckptr.save(
             self._path(f"netG_epoch_{epoch}"), state.gen.variables(), force=True
         )
         self._ckptr.save(self._path("train_state_last"), state, force=True)
         with open(self._path("last_epoch.txt"), "w") as f:
-            f.write(str(epoch))
+            f.write(str(epoch if completed is None else completed))
 
     def restore(self, template: TrainState, epoch: Optional[int] = None) -> TrainState:
         """Restore the full state; if `epoch` is given, overwrite generator

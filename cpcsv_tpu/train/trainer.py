@@ -319,7 +319,11 @@ class GANTrainer:
 
             # ---- epoch sample grid (reference trainer.py:437-444)
             if last_st_batch is not None:
-                self._log_epoch_samples(state, epoch, *last_st_batch, rng)
+                # dedicated key split off the stream: passing the live `rng`
+                # here and then reusing it for training noise could make the
+                # sample-grid key coincide with a future step key
+                rng, k_sample = jax.random.split(rng)
+                self._log_epoch_samples(state, epoch, *last_st_batch, k_sample)
 
             self.logger.add_scalar("learning/generator", lr_g, epoch)
             self.logger.add_scalar("learning/st_discriminator", lr_d, epoch)
@@ -343,7 +347,9 @@ class GANTrainer:
 
             if epoch % self.snapshot_interval == 0:
                 self.ckpt.save(state, epoch)
-        self.ckpt.save(state, self.max_epoch)
+        # final save keeps the reference snapshot name netG_epoch_{MAX_EPOCH}
+        # but records the true last completed epoch for auto-resume
+        self.ckpt.save(state, self.max_epoch, completed=self.max_epoch - 1)
         if self._profile_pending:
             print(
                 "WARNING: CPCSV_PROFILE_DIR was set but the run was too short "
@@ -401,12 +407,21 @@ class GANTrainer:
         return value
 
     def calculate_vfid(self, state: TrainState, epoch: int, testloader):
-        """In-training FID/FSD hook (reference trainer.py:160-174)."""
-        from cpcsv_tpu.evaluation.drivers import evaluate_fid_fsd_in_memory
+        """In-training FID/FSD hook (reference trainer.py:160-174).
 
+        Extractors are built (and jitted, and random-init-warned) ONCE on
+        first use and held on the trainer for all subsequent epochs."""
+        from cpcsv_tpu.evaluation.drivers import (
+            evaluate_fid_fsd_in_memory,
+            make_in_memory_extractors,
+        )
+
+        if not hasattr(self, "_eval_extractors"):
+            self._eval_extractors = make_in_memory_extractors()
         scores = evaluate_fid_fsd_in_memory(
             self.cfg, self.models[0], state.gen.variables(), testloader,
             rng=jax.random.PRNGKey(1234 + epoch),
+            extractors=self._eval_extractors,
         )
         self.logger.add_scalar("Evaluation/vfid", scores["fsd"], epoch)
         self.logger.add_scalar("Evaluation/fid", scores["fid"], epoch)

@@ -112,3 +112,34 @@ def test_auto_resume_skips_completed_epoch(tmp_path):
     trainer2 = GANTrainer(cfg, out_dir, continue_ckpt="auto", seed=0)
     state2 = trainer2.train(imageloader, storyloader, testloader)
     assert int(state2.step) == steps_per_epoch  # no duplicated epoch
+
+
+def test_auto_resume_extends_finished_run_without_skipping(tmp_path):
+    """Re-running a FINISHED run with a raised MAX_EPOCH must train every new
+    epoch: the end-of-run save keeps the reference netG_epoch_{MAX_EPOCH}
+    snapshot name but records completed=MAX_EPOCH-1 in last_epoch.txt, so
+    auto-resume picks up at old MAX_EPOCH (not old MAX_EPOCH+1, which would
+    silently skip one epoch and shift the LR schedule)."""
+    cfg = tiny_cfg(tmp_path, cascade=False)
+    out_dir = str(tmp_path / "run_extend")
+    imageloader, storyloader, testloader = make_loaders(cfg)
+
+    trainer = GANTrainer(cfg, out_dir, seed=0)
+    state = trainer.train(imageloader, storyloader, testloader)
+    steps_per_epoch = len(storyloader)
+    assert int(state.step) == steps_per_epoch  # epochs: just 0
+
+    # final save wrote the reference-named snapshot one past the last epoch
+    model_dir = os.path.join(out_dir, "Model")
+    assert os.path.exists(os.path.join(model_dir, "netG_epoch_1"))
+    # ...but last_epoch.txt records the last COMPLETED epoch
+    assert open(os.path.join(model_dir, "last_epoch.txt")).read().strip() == "0"
+
+    new_max = 3
+    cfg2 = cfg.with_updates(
+        TRAIN=cfg.TRAIN.__class__(**{**cfg.TRAIN.__dict__, "MAX_EPOCH": new_max})
+    )
+    trainer2 = GANTrainer(cfg2, out_dir, continue_ckpt="auto", seed=0)
+    state2 = trainer2.train(imageloader, storyloader, testloader)
+    # epochs 1 and 2 trained on top of the restored epoch 0 — none skipped
+    assert int(state2.step) == new_max * steps_per_epoch

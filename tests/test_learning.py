@@ -60,3 +60,72 @@ def test_autoencoder_fits_fixed_batch():
         params, batch_stats, opt, loss = step(params, batch_stats, opt)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+
+
+def test_full_train_loop_drives_supervised_losses_down():
+    """Check #2 promised above: the FULL alternating d_step/g_step loop (the
+    exact production update, cascade variant) on a learnable synthetic task —
+    masks deterministic in the labels — must drive the supervised pieces
+    (G/reconstruct_loss, G/video_vae_loss) downward. A red test if the
+    trainer silently stops optimizing (reference losses trainer.py:370-384)."""
+    from cpcsv_tpu.models import build_models
+    from cpcsv_tpu.train import create_train_state, make_train_steps
+
+    cfg = tiny_cfg(CASCADE_MODEL=True, SEGMENT_LEARNING=True)
+    models = build_models(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), models)
+    d_step, g_step = make_train_steps(cfg, models, ratio=1.0)
+
+    rng = np.random.default_rng(0)
+    B_ST, B_IM, T = 2, 4, cfg.VIDEO_LEN
+    # labels one-hot; each class deterministically maps to a low-frequency
+    # stripe mask AND a matching solid-tint image (learnable structure)
+    im_labels = np.eye(9, dtype=np.float32)[rng.integers(0, 9, B_IM)]
+    cls = im_labels.argmax(1)
+    h = np.arange(64, dtype=np.float32)[None, :, None, None]
+    masks = 0.8 * np.sin(2 * np.pi * h / 32 + cls[:, None, None, None] * 0.7)
+    masks = (masks * np.ones((B_IM, 64, 64, 1))).astype(np.float32)
+    tint = (cls[:, None, None, None].astype(np.float32) / 4.0 - 1.0)
+    images = (tint * np.ones((B_IM, 64, 64, 3))).astype(np.float32)
+
+    st_labels = np.eye(9, dtype=np.float32)[rng.integers(0, 9, (B_ST, T))]
+    st_cls = st_labels.argmax(-1)
+    st_images = (
+        (st_cls[..., None, None, None].astype(np.float32) / 4.0 - 1.0)
+        * np.ones((B_ST, T, 64, 64, 3))
+    ).astype(np.float32)
+
+    st_batch = {
+        "images": jnp.asarray(st_images),
+        "description": jnp.asarray(
+            np.repeat(st_labels, 356 // 9 + 1, axis=-1)[..., :356]
+        ),
+        "labels": jnp.asarray(st_labels),
+    }
+    im_batch = {
+        "images": jnp.asarray(images),
+        "description": jnp.asarray(
+            np.repeat(im_labels, 356 // 9 + 1, axis=-1)[..., :356]
+        ),
+        "labels": jnp.asarray(im_labels),
+        "content": jnp.asarray(
+            np.repeat(
+                np.repeat(im_labels[:, None], T, 1), 356 // 9 + 1, axis=-1
+            )[..., :356]
+        ),
+        "images_seg": jnp.asarray(masks),
+    }
+
+    recon_hist, vae_hist = [], []
+    key = jax.random.PRNGKey(42)
+    for i in range(40):
+        key, k_d, k_g = jax.random.split(key, 3)
+        state, _ = d_step(state, k_d, st_batch, im_batch, 4e-4)
+        state, gm = g_step(state, k_g, st_batch, im_batch, 1e-4)
+        recon_hist.append(float(np.asarray(gm["G/reconstruct_loss"])))
+        vae_hist.append(float(np.asarray(gm["G/video_vae_loss"])))
+
+    first_r, last_r = np.mean(recon_hist[:5]), np.mean(recon_hist[-5:])
+    first_v, last_v = np.mean(vae_hist[:5]), np.mean(vae_hist[-5:])
+    assert last_r < first_r * 0.7, (first_r, last_r, recon_hist)
+    assert last_v < first_v * 0.9, (first_v, last_v, vae_hist)

@@ -139,6 +139,37 @@ def test_dataset_sampling_is_seed_deterministic(tmp_path):
     assert not np.array_equal(a, c)
 
 
+def test_builder_threads_seed_into_datasets(tmp_path):
+    """build_pororo_loaders must pass its seed to the dataset constructors:
+    different manualSeed values get different crop/description streams, not
+    just a different shuffle order (the datasets used to be pinned at the
+    default seed=0)."""
+    from cpcsv_tpu.data.pororo import build_pororo_loaders
+
+    root, _ = _make_fake_pororo(tmp_path)
+    cfg = default_config().with_updates(
+        DATA_DIR=root,
+        SEGMENT_LEARNING=True,
+        MESH_SHAPE="data:1",
+        TRAIN=TrainConfig(
+            IM_BATCH_SIZE=2, ST_BATCH_SIZE=2, SEGMENT_NAME="img_segment",
+            COEFF=CoeffConfig(KL=1.0),
+        ),
+    )
+
+    def items(seed):
+        _, storyloader, _ = build_pororo_loaders(cfg, seed=seed)
+        # index the dataset directly so the loader's shuffle can't mask a
+        # shared sampling stream
+        return np.stack(
+            [np.asarray(storyloader.dataset[i]["images"]) for i in range(3)]
+        )
+
+    a, b, c = items(7), items(7), items(8)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
 def test_gif_extract_preserves_numeric_order(tmp_path):
     """extract_all must order 10.gif AFTER 9.gif (lexicographic sort used to
     scramble the temporal sequence for episodes with 10+ scenes)."""

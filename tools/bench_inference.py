@@ -71,7 +71,11 @@ def main():
         for _ in range(args.iters):
             key, sub = jax.random.split(key)
             video = sample(gen_vars, motion, content, sub)
-        _ = float(jnp.mean(video))  # readback completion barrier
+            # readback per dispatch: matches the production cadence and avoids
+            # the tunnel's pathological serialization of back-to-back enqueues
+            # with no intervening host readback (CLAUDE.md TUNNEL DISPATCH
+            # PITFALL)
+            _ = float(jnp.mean(video))
         dt = (time.perf_counter() - t0) / args.iters
         fps = b * T / dt
         print(

@@ -80,7 +80,9 @@ def main():
         for _ in range(iters):
             k, sub = jax.random.split(k)
             out = fn(sub)
-        _ = readback_fn(out)
+            # per-dispatch readback: back-to-back enqueues with no host
+            # readback serialize pathologically on the tunnel (CLAUDE.md)
+            _ = readback_fn(out)
         dt = (time.perf_counter() - t0) / iters * 1e3
         print(f"{name:>28}: {dt:8.2f} ms")
         return dt
