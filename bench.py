@@ -136,6 +136,8 @@ def main():
         # production cadence: chunks of cfg.SCAN_STEPS DISTINCT batches
         # (distinct data, same shapes) stacked on a leading axis, exactly as
         # the trainer feeds the scan path
+        if on_tpu:
+            n_iters = max(n_iters, cfg.SCAN_STEPS)  # K must not be capped
         K = max(1, min(cfg.SCAN_STEPS, n_iters))
         n_chunks = max(1, n_iters // K)
         n_iters = n_chunks * K

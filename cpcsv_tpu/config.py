@@ -123,6 +123,11 @@ class Config:
     # losses/gan_losses.py:infonce_loss.
     USE_INFONCE: bool = False
     INFONCE_TEMPERATURE: float = 1.0
+    # Adam first-moment storage dtype: "float32" | "bfloat16". bf16 halves
+    # the m-buffer HBM traffic of the 4 per-net Adam updates (params, nu and
+    # the update math stay fp32 — optax upcasts m̂ before use). A/B lever for
+    # the train-step MFU push; measured results in PARITY.md.
+    ADAM_MU_DTYPE: str = "float32"
 
     # ----- derived helpers -----
     @property

@@ -22,8 +22,16 @@ from flax.core import FrozenDict
 from cpcsv_tpu.config import Config
 
 
-def make_adam() -> optax.GradientTransformation:
-    return optax.scale_by_adam(b1=0.5, b2=0.999, eps=1e-8)
+def make_adam(cfg: Optional[Config] = None) -> optax.GradientTransformation:
+    """Adam β=(0.5,0.999) (reference trainer.py:212-220). cfg.ADAM_MU_DTYPE
+    = "bfloat16" stores the FIRST moment in bf16 (params/updates stay fp32;
+    optax casts m̂ back to fp32 before the update math) — halves the m-buffer
+    HBM traffic of the four per-net Adam updates. A/B knob for the MFU push;
+    default fp32."""
+    mu_dtype = None
+    if cfg is not None and getattr(cfg, "ADAM_MU_DTYPE", "float32") == "bfloat16":
+        mu_dtype = jnp.bfloat16
+    return optax.scale_by_adam(b1=0.5, b2=0.999, eps=1e-8, mu_dtype=mu_dtype)
 
 
 class NetState(struct.PyTreeNode):
@@ -98,7 +106,7 @@ def create_train_state(
         k_st, story, cond
     )
 
-    tx = make_adam()
+    tx = make_adam(cfg)
     d_se_state = None
     if d_se is not None:
         masks = jnp.zeros((2, cfg.SESIZE, cfg.SESIZE, 1))

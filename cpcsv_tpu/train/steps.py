@@ -106,7 +106,7 @@ def make_train_steps(cfg: Config, models, jit: bool = True, ratio: float = 1.0):
                  SEGMENT_LEARNING]
     """
     net_g, d_im, d_st, d_se = models
-    tx = make_adam()
+    tx = make_adam(cfg)
     use_segment = cfg.SEGMENT_LEARNING
     cascade = cfg.CASCADE_MODEL
     # `ratio` weights the story/seg G-loss group (reference GANTrainer's

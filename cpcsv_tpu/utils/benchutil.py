@@ -9,10 +9,19 @@ from __future__ import annotations
 
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from cpcsv_tpu.config import Config, default_config
+
+# persistent compilation cache (same dir as tests/conftest.py): repeated A/B
+# bench invocations of an unchanged program skip the 20-40 s TPU compile
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # pragma: no cover - older jax without the knob
+    pass
 
 
 def apply_env_overrides(cfg: Config, env: str = "CPCSV_BENCH_OVERRIDES") -> Config:

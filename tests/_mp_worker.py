@@ -1,8 +1,16 @@
 """Worker for tests/test_multiprocess.py: one process of a 2-process
-jax.distributed data-parallel train step on CPU (2 local devices each,
-4 global). Prints one line: MP_METRICS {json}.
+jax.distributed data-parallel run on CPU (2 local devices each, 4 global).
 
-Usage: python tests/_mp_worker.py <process_id> <coordinator_port>
+Three legs, continuing the same state (the exact production code paths):
+  1. split per-step dispatch (d_step + g_step)        -> MP_METRICS {json}
+  2. one make_scan_steps chunk, K=2 stacked batches   -> MP_SCAN_METRICS {json}
+     (leading-K axis unsharded, batch axis sharded: P(None, "data") via
+     shard_batch(..., scan_axis=True) + make_array_from_process_local_data —
+     exactly trainer.py's SCAN_STEPS path)
+  3. distributed checkpoint save -> restore -> one more d_step
+                                                      -> MP_RESUME_METRICS {json}
+
+Usage: python tests/_mp_worker.py <process_id> <coordinator_port> <ckpt_dir>
 """
 
 import json
@@ -13,13 +21,38 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 2)
-jax.config.update("jax_cpu_collectives_implementation", "gloo")
+if __name__ == "__main__":
+    # worker-process backend setup ONLY: this module is also imported by the
+    # pytest process (for make_global_batches), where the 8-device CPU
+    # backend is already initialized and these updates would raise
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+
+def make_global_batches(cfg, B, seed=0):
+    import numpy as np
+
+    T = cfg.VIDEO_LEN
+    rng = np.random.default_rng(seed)
+    st = {
+        "images": rng.standard_normal((B, T, 64, 64, 3)).astype(np.float32),
+        "description": rng.standard_normal((B, T, 356)).astype(np.float32),
+        "labels": (rng.random((B, T, 9)) < 0.3).astype(np.float32),
+    }
+    im = {
+        "images": rng.standard_normal((B, 64, 64, 3)).astype(np.float32),
+        "description": rng.standard_normal((B, 356)).astype(np.float32),
+        "labels": (rng.random((B, 9)) < 0.3).astype(np.float32),
+        "content": rng.standard_normal((B, T, 356)).astype(np.float32),
+        "images_seg": rng.standard_normal((B, 64, 64, 1)).astype(np.float32),
+    }
+    return st, im
 
 
 def main():
     pid, port = int(sys.argv[1]), int(sys.argv[2])
+    ckpt_dir = sys.argv[3] if len(sys.argv) > 3 else None
     jax.distributed.initialize(
         coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
     )
@@ -29,6 +62,7 @@ def main():
     from cpcsv_tpu.models import build_models
     from cpcsv_tpu.parallel.mesh import make_mesh, shard_batch
     from cpcsv_tpu.train import create_train_state, make_train_steps
+    from cpcsv_tpu.train.steps import make_scan_steps
 
     cfg = default_config().with_updates(
         CASCADE_MODEL=True,
@@ -41,29 +75,12 @@ def main():
     models = build_models(cfg)
     state = create_train_state(cfg, jax.random.PRNGKey(0), models)
 
-    # GLOBAL batch generated identically in every process; each process
-    # passes only its LOCAL slice to shard_batch (the multi-host input path:
-    # jax.make_array_from_process_local_data assembles the global array).
-    B, T = 4, cfg.VIDEO_LEN
-    rng = np.random.default_rng(0)
-    st_global = {
-        "images": rng.standard_normal((B, T, 64, 64, 3)).astype(np.float32),
-        "description": rng.standard_normal((B, T, 356)).astype(np.float32),
-        "labels": (rng.random((B, T, 9)) < 0.3).astype(np.float32),
-    }
-    im_global = {
-        "images": rng.standard_normal((B, 64, 64, 3)).astype(np.float32),
-        "description": rng.standard_normal((B, 356)).astype(np.float32),
-        "labels": (rng.random((B, 9)) < 0.3).astype(np.float32),
-        "content": rng.standard_normal((B, T, 356)).astype(np.float32),
-        "images_seg": rng.standard_normal((B, 64, 64, 1)).astype(np.float32),
-    }
+    # ---- leg 1: split per-step dispatch on local slices of a global batch
+    B = 4
     lo, hi = pid * (B // 2), (pid + 1) * (B // 2)
-    st_local = {k: v[lo:hi] for k, v in st_global.items()}
-    im_local = {k: v[lo:hi] for k, v in im_global.items()}
-
-    st_batch = shard_batch(st_local, mesh)
-    im_batch = shard_batch(im_local, mesh)
+    st_global, im_global = make_global_batches(cfg, B, seed=0)
+    st_batch = shard_batch({k: v[lo:hi] for k, v in st_global.items()}, mesh)
+    im_batch = shard_batch({k: v[lo:hi] for k, v in im_global.items()}, mesh)
 
     d_step, g_step = make_train_steps(cfg, models)
     state, d_metrics = d_step(state, jax.random.PRNGKey(1), st_batch, im_batch, 4e-4)
@@ -72,6 +89,53 @@ def main():
 
     out = {k: float(np.asarray(v)) for k, v in {**d_metrics, **g_metrics}.items()}
     print("MP_METRICS", json.dumps(out), flush=True)
+
+    # ---- leg 2: production SCAN_STEPS path, K=2 stacked batches
+    K = 2
+    st_steps, im_steps = [], []
+    for j in range(K):
+        st_g, im_g = make_global_batches(cfg, B, seed=10 + j)
+        st_steps.append({k: v[lo:hi] for k, v in st_g.items()})
+        im_steps.append({k: v[lo:hi] for k, v in im_g.items()})
+    stack = lambda ds: {k: np.stack([d[k] for d in ds]) for k in ds[0]}
+    st_k = shard_batch(stack(st_steps), mesh, scan_axis=True)
+    im_k = shard_batch(stack(im_steps), mesh, scan_axis=True)
+
+    scan_steps = make_scan_steps(cfg, models)
+    state, scan_metrics = scan_steps(
+        state, jax.random.PRNGKey(3), st_k, im_k, 4e-4, 1e-4
+    )
+    jax.block_until_ready(state)
+    out2 = {
+        k: [float(x) for x in np.asarray(v)] for k, v in scan_metrics.items()
+    }
+    print("MP_SCAN_METRICS", json.dumps(out2), flush=True)
+
+    # ---- leg 3: distributed checkpoint save -> restore -> continue
+    if ckpt_dir:
+        from cpcsv_tpu.train.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(ckpt_dir)
+        ckpt.save(state, 0)
+        template = create_train_state(cfg, jax.random.PRNGKey(99), models)
+        restored = ckpt.restore(template)
+        assert ckpt.last_epoch() == 0
+        # the distributed round-trip must be BITWISE exact
+        for a, b in zip(
+            jax.tree.leaves(state.gen.params), jax.tree.leaves(restored.gen.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        st_g, im_g = make_global_batches(cfg, B, seed=20)
+        st_b = shard_batch({k: v[lo:hi] for k, v in st_g.items()}, mesh)
+        im_b = shard_batch({k: v[lo:hi] for k, v in im_g.items()}, mesh)
+        restored, r_metrics = d_step(
+            restored, jax.random.PRNGKey(4), st_b, im_b, 4e-4
+        )
+        jax.block_until_ready(restored)
+        out3 = {k: float(np.asarray(v)) for k, v in r_metrics.items()}
+        print("MP_RESUME_METRICS", json.dumps(out3), flush=True)
+
+    jax.distributed.shutdown()
 
 
 if __name__ == "__main__":

@@ -63,6 +63,81 @@ def test_per_host_loader_rejects_indivisible_batch():
         DataLoader([], 7, process_index=0, process_count=2)
 
 
+@pytest.mark.parametrize(
+    "variant",
+    [
+        dict(USE_SEQ_CONSISTENCY=True),
+        dict(USE_INFONCE=True),
+    ],
+    ids=["seq_consistency", "infonce"],
+)
+def test_variant_matrix_8dev_matches_1dev(variant):
+    """The optional loss branches under the sharded batch axis (VERDICT r2
+    #8): USE_SEQ_CONSISTENCY runs the host-side shuffled story batch through
+    the VideoEncoder order head; USE_INFONCE builds B x B pairwise logits
+    across the sharded batch — exactly where XLA's inserted collectives can
+    silently change the math. 8-device metrics must match the 1-device
+    program (reference branches miscc/utils.py:110-122)."""
+    import jax.numpy as jnp
+
+    from cpcsv_tpu.config import GanConfig, default_config
+    from cpcsv_tpu.losses.shuffle import create_random_shuffle
+    from cpcsv_tpu.models import build_models
+    from cpcsv_tpu.train import create_train_state, make_train_steps
+
+    cfg = default_config().with_updates(
+        CASCADE_MODEL=False,
+        SEGMENT_LEARNING=False,
+        GAN=GanConfig(CONDITION_DIM=124, Z_DIM=100, DF_DIM=8, GF_DIM=4, GF_SEG_DIM=16),
+        **variant,
+    )
+    models = build_models(cfg)
+    B, T = 8, cfg.VIDEO_LEN
+    rng = np.random.default_rng(0)
+    st_host = {
+        "images": rng.standard_normal((B, T, 64, 64, 3)).astype(np.float32),
+        "description": rng.standard_normal((B, T, 356)).astype(np.float32),
+        "labels": (rng.random((B, T, 9)) < 0.3).astype(np.float32),
+    }
+    if cfg.USE_SEQ_CONSISTENCY:
+        shuffled, order_labels = create_random_shuffle(
+            st_host["images"], rng=np.random.default_rng(7)
+        )
+        st_host.update(shuffled=shuffled, order_labels=order_labels)
+    im_host = {
+        "images": rng.standard_normal((B, 64, 64, 3)).astype(np.float32),
+        "description": rng.standard_normal((B, 356)).astype(np.float32),
+        "labels": (rng.random((B, 9)) < 0.3).astype(np.float32),
+        "content": rng.standard_normal((B, T, 356)).astype(np.float32),
+    }
+
+    def run(n_dev):
+        mesh = make_mesh(f"data:{n_dev}", jax.devices()[:n_dev])
+        state = create_train_state(cfg, jax.random.PRNGKey(0), models)
+        state = jax.device_put(state, replicate(mesh))
+        d_step, g_step = make_train_steps(cfg, models)
+        st_b = shard_batch(st_host, mesh)
+        im_b = shard_batch(im_host, mesh)
+        state, d_m = d_step(state, jax.random.PRNGKey(1), st_b, im_b, 4e-4)
+        state, g_m = g_step(state, jax.random.PRNGKey(2), st_b, im_b, 1e-4)
+        jax.block_until_ready(state)
+        return {k: float(np.asarray(v)) for k, v in {**d_m, **g_m}.items()}
+
+    m8, m1 = run(8), run(1)
+    assert m8.keys() == m1.keys()
+    if cfg.USE_SEQ_CONSISTENCY:
+        assert any("order" in k for k in m8), m8.keys()
+    for k in m8:
+        assert np.isfinite(m8[k]), f"{k} not finite on 8 devices"
+        # rtol 5e-3: the deep R(2+1)D consistency branch amplifies fp32
+        # reduction-order differences to ~1.3e-3 (measured); real sharding
+        # bugs show up as O(1) mismatches
+        np.testing.assert_allclose(
+            m8[k], m1[k], rtol=5e-3, atol=1e-4,
+            err_msg=f"8-device metric {k} != 1-device ({variant})",
+        )
+
+
 def test_dryrun_multichip_entrypoint():
     """The driver's multi-chip validation must pass on the virtual mesh."""
     import importlib.util, os

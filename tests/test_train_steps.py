@@ -72,6 +72,40 @@ def test_train_steps_run_and_update(cascade, segment):
         assert "G/video_vae_loss" in g_metrics
 
 
+def test_bf16_adam_moments():
+    """ADAM_MU_DTYPE=bfloat16 stores the first moment in bf16; the step runs
+    finite, params stay fp32, and updates track the fp32-moment program
+    closely (the HBM-traffic A/B lever for the MFU push)."""
+    import jax.numpy as jnp
+
+    cfg = tiny_cfg(CASCADE_MODEL=False, SEGMENT_LEARNING=False,
+                   ADAM_MU_DTYPE="bfloat16")
+    models = build_models(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), models)
+    mu_leaves = jax.tree.leaves(state.gen.opt_state.mu)
+    assert all(l.dtype == jnp.bfloat16 for l in mu_leaves)
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(state.gen.params))
+
+    d_step, g_step = make_train_steps(cfg, models)
+    rng = np.random.default_rng(0)
+    st_batch, im_batch = make_batches(cfg, rng)
+    state, dm = d_step(state, jax.random.PRNGKey(1), st_batch, im_batch, 4e-4)
+    state, gm = g_step(state, jax.random.PRNGKey(2), st_batch, im_batch, 1e-4)
+    for k, v in {**dm, **gm}.items():
+        assert np.isfinite(np.asarray(v)), f"{k} not finite"
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(state.gen.params))
+
+    # parity vs the fp32-moment program after one identical step
+    cfg32 = tiny_cfg(CASCADE_MODEL=False, SEGMENT_LEARNING=False)
+    state32 = create_train_state(cfg32, jax.random.PRNGKey(0), build_models(cfg32))
+    d32, g32 = make_train_steps(cfg32, build_models(cfg32))
+    state32, _ = d32(state32, jax.random.PRNGKey(1), st_batch, im_batch, 4e-4)
+    state32, _ = g32(state32, jax.random.PRNGKey(2), st_batch, im_batch, 1e-4)
+    a = np.asarray(jax.tree.leaves(state.gen.params)[0])
+    b = np.asarray(jax.tree.leaves(state32.gen.params)[0])
+    np.testing.assert_allclose(a, b, rtol=0, atol=5e-3)
+
+
 def test_infonce_train_step():
     """USE_INFONCE extension: D step runs, losses finite, params move."""
     cfg = tiny_cfg(CASCADE_MODEL=False, SEGMENT_LEARNING=True, USE_INFONCE=True)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def capture(trace_dir: str, steps: int):
+def capture(trace_dir: str, steps: int, mode: str = "split"):
     from cpcsv_tpu.models import build_models
     from cpcsv_tpu.train import create_train_state, make_train_steps
     from cpcsv_tpu.utils.benchutil import bench_config, synthetic_batches
@@ -35,26 +35,49 @@ def capture(trace_dir: str, steps: int):
     B_st, B_im = 18, 90
     models = build_models(cfg)
     state = create_train_state(cfg, jax.random.PRNGKey(0), models)
-    d_step, g_step = make_train_steps(cfg, models)
 
     st_batch, im_batch = synthetic_batches(cfg, B_st, B_im)
     key = jax.random.PRNGKey(1)
 
-    def one_step(state, key):
-        k1, k2 = jax.random.split(key)
-        state, _ = d_step(state, k1, st_batch, im_batch, 4e-4)
-        state, m = g_step(state, k2, st_batch, im_batch, 1e-4)
-        return state, m
+    if mode == "scan":
+        # the PRODUCTION program: cfg.SCAN_STEPS alternating updates in one
+        # dispatch (each traced "step" here is one K-step chunk)
+        from cpcsv_tpu.train.steps import make_scan_steps
 
-    # warmup/compile outside the trace
-    state, m = one_step(state, key)
-    _ = float(np.asarray(m["G/loss"]))
+        K = cfg.SCAN_STEPS
+        st_k = jax.tree_util.tree_map(
+            lambda a: jnp.stack([a + 0.01 * i for i in range(K)]), st_batch
+        )
+        im_k = jax.tree_util.tree_map(
+            lambda a: jnp.stack([a + 0.01 * i for i in range(K)]), im_batch
+        )
+        scan_steps = make_scan_steps(cfg, models)
+
+        def one_step(state, key):
+            state, m = scan_steps(state, key, st_k, im_k, 4e-4, 1e-4)
+            return state, {"G/loss": m["G/loss"][-1]}
+
+    else:
+        d_step, g_step = make_train_steps(cfg, models)
+
+        def one_step(state, key):
+            k1, k2 = jax.random.split(key)
+            state, _ = d_step(state, k1, st_batch, im_batch, 4e-4)
+            state, m = g_step(state, k2, st_batch, im_batch, 1e-4)
+            return state, m
+
+    # warmup/compile outside the trace (two executions: the first after
+    # compile can be anomalously slow on the tunnel)
+    for _ in range(2):
+        key, sub = jax.random.split(key)
+        state, m = one_step(state, sub)
+        _ = float(np.asarray(m["G/loss"]))
 
     jax.profiler.start_trace(trace_dir)
     for _ in range(steps):
         key, sub = jax.random.split(key)
         state, m = one_step(state, sub)
-    _ = float(np.asarray(m["G/loss"]))  # readback barrier inside the trace
+        _ = float(np.asarray(m["G/loss"]))  # readback barrier per dispatch
     jax.profiler.stop_trace()
 
 
@@ -91,6 +114,8 @@ def analyze(trace_dir: str, top: int = 40):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--mode", default="split", choices=["split", "scan"],
+                    help="scan = the production SCAN_STEPS program")
     ap.add_argument("--keep", default=None, help="trace dir (kept); default: temp")
     ap.add_argument("--analyze-only", default=None, help="skip capture, parse DIR")
     ap.add_argument("--top", type=int, default=40)
@@ -100,7 +125,7 @@ def main():
         analyze(args.analyze_only, args.top)
         return
     trace_dir = args.keep or tempfile.mkdtemp(prefix="cpcsv_trace_")
-    capture(trace_dir, args.steps)
+    capture(trace_dir, args.steps, args.mode)
     print("trace dir:", trace_dir)
     analyze(trace_dir, args.top)
 
