@@ -123,6 +123,12 @@ class Config:
     # losses/gan_losses.py:infonce_loss.
     USE_INFONCE: bool = False
     INFONCE_TEMPERATURE: float = 1.0
+    # BatchNorm backend: "xla" (flax nn.BatchNorm) | "pallas"
+    # (ops/batchnorm.py — identical semantics/variable layout, channel
+    # reductions as Pallas kernels at ~800 GB/s vs XLA's ~300-480 on v5e;
+    # the round-3 profile put 37% of step time in these reductions).
+    # Measured A/B in PARITY.md before any default change.
+    BN_BACKEND: str = "xla"
     # Adam first-moment storage dtype: "float32" | "bfloat16". bf16 halves
     # the m-buffer HBM traffic of the 4 per-net Adam updates (params, nu and
     # the update math stay fp32 — optax upcasts m̂ before use). A/B lever for

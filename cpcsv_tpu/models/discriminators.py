@@ -44,6 +44,7 @@ class _Encoder64(nn.Module):
     ndf: int
     sn_first: bool = False
     dtype: Any = None
+    bn_backend: str = "xla"  # cfg.BN_BACKEND
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -59,9 +60,9 @@ class _Encoder64(nn.Module):
             x = SNConv(
                 ndf * mult, (4, 4), 2, ((1, 1), (1, 1)), dtype=self.dtype, name=f"c{i+1}"
             )(x, sn_update=train)
-            x = make_batchnorm(dtype=self.dtype, name=f"bn{i+1}")(
-                x, use_running_average=not train
-            )
+            x = make_batchnorm(
+                dtype=self.dtype, name=f"bn{i+1}", backend=self.bn_backend
+            )(x, use_running_average=not train)
             x = nn.leaky_relu(x, 0.2)
         return x  # (N, 4, 4, ndf*8)
 
@@ -73,6 +74,7 @@ class DGetLogits(nn.Module):
     nef: int
     bcondition: bool = True
     dtype: Any = None
+    bn_backend: str = "xla"  # cfg.BN_BACKEND
 
     @nn.compact
     def __call__(
@@ -86,9 +88,9 @@ class DGetLogits(nn.Module):
             h = SNConv(self.ndf * 8, (3, 3), 1, "SAME", dtype=self.dtype, name="conv")(
                 h, sn_update=train
             )
-            h = make_batchnorm(dtype=self.dtype, name="bn")(
-                h, use_running_average=not train
-            )
+            h = make_batchnorm(
+                dtype=self.dtype, name="bn", backend=self.bn_backend
+            )(h, use_running_average=not train)
             h = nn.leaky_relu(h, 0.2)
         else:
             h = h_code
@@ -130,11 +132,15 @@ class ImageDiscriminator(nn.Module):
     use_categories: bool = True
     in_channels: int = 3
     dtype: Any = None
+    bn_backend: str = "xla"  # cfg.BN_BACKEND
 
     def setup(self):
-        self.encode_img = _Encoder64(self.ndf, sn_first=False, dtype=self.dtype)
+        self.encode_img = _Encoder64(
+            self.ndf, sn_first=False, dtype=self.dtype, bn_backend=self.bn_backend
+        )
         self.get_cond_logits = DGetLogits(
-            self.ndf, self.nef + self.text_dim + self.label_num, dtype=self.dtype
+            self.ndf, self.nef + self.text_dim + self.label_num, dtype=self.dtype,
+            bn_backend=self.bn_backend,
         )
         if self.use_categories:
             self.cate_classify = _CateClassify(self.label_num, dtype=self.dtype)
@@ -205,14 +211,20 @@ class StoryDiscriminator(nn.Module):
     label_num: int = 9
     use_seq_consistency: bool = False
     dtype: Any = None
+    bn_backend: str = "xla"  # cfg.BN_BACKEND
 
     def setup(self):
-        self.encode_img = _Encoder64(self.ndf, sn_first=True, dtype=self.dtype)
+        self.encode_img = _Encoder64(
+            self.ndf, sn_first=True, dtype=self.dtype, bn_backend=self.bn_backend
+        )
         self.get_cond_logits = DGetLogits(
-            self.ndf, self.nef + self.text_dim + self.label_num, dtype=self.dtype
+            self.ndf, self.nef + self.text_dim + self.label_num, dtype=self.dtype,
+            bn_backend=self.bn_backend,
         )
         if self.use_seq_consistency:
-            self.seq_consisten_model = VideoEncoder(dtype=self.dtype)
+            self.seq_consisten_model = VideoEncoder(
+                dtype=self.dtype, bn_backend=self.bn_backend
+            )
 
     def __call__(self, story: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         """story: (B, T, H, W, C) -> (B, 4, 4, ndf*8) frame-mean features."""

@@ -34,6 +34,7 @@ def generator_from_config(cfg: Config, video_len: int | None = None) -> StoryGen
         remat=cfg.REMAT,
         use_pallas=cfg.USE_PALLAS,
         fused_upsample=cfg.FUSED_UPSAMPLE,
+        bn_backend=cfg.BN_BACKEND,
         dtype=_dtype(cfg),
     )
 
@@ -48,6 +49,7 @@ def build_models(cfg: Config):
         text_dim=cfg.TEXT.DIMENSION,
         label_num=cfg.LABEL_NUM,
         dtype=dt,
+        bn_backend=cfg.BN_BACKEND,
     )
     net_d_st = StoryDiscriminator(
         ndf=cfg.GAN.DF_DIM,
@@ -56,6 +58,7 @@ def build_models(cfg: Config):
         label_num=cfg.LABEL_NUM,
         use_seq_consistency=cfg.USE_SEQ_CONSISTENCY,
         dtype=dt,
+        bn_backend=cfg.BN_BACKEND,
     )
     net_d_se = None
     if cfg.SEGMENT_LEARNING:
@@ -66,5 +69,6 @@ def build_models(cfg: Config):
             label_num=cfg.LABEL_NUM,
             in_channels=1,
             dtype=dt,
+            bn_backend=cfg.BN_BACKEND,
         )
     return net_g, net_d_im, net_d_st, net_d_se

@@ -98,6 +98,7 @@ class StoryGenerator(nn.Module):
     remat: bool = False  # rematerialize up/down blocks: trade FLOPs for HBM
     use_pallas: bool = False  # cfg.USE_PALLAS: Pallas DFN kernel on TPU
     fused_upsample: str = "off"  # cfg.FUSED_UPSAMPLE (ops/fused_upsample.py)
+    bn_backend: str = "xla"  # cfg.BN_BACKEND (ops/batchnorm.py pallas BN)
     dtype: Any = None
 
     def setup(self):
@@ -109,6 +110,7 @@ class StoryGenerator(nn.Module):
         ninput = self.motion_dim + self.content_dim + self.image_size  # 613
         ngf, ngf_seg = self.gf_dim, self.gf_dim_seg
         dt = self.dtype
+        bnb = self.bn_backend
         # remat: recompute block activations in the backward pass instead of
         # storing them (jax.checkpoint through flax.linen.remat) — lets the
         # per-chip batch grow past HBM limits at ~1/3 extra FLOPs
@@ -117,41 +119,44 @@ class StoryGenerator(nn.Module):
 
         self.ca_net = CANet(self.content_dim, dtype=dt)
         self.filter_net = DenseBN(
-            self.filter_size * self.filter_num * self.out_num, dtype=dt
+            self.filter_size * self.filter_num * self.out_num, dtype=dt, bn_backend=bnb
         )
         self.image_net = DenseBN(
-            self.image_size * self.filter_num, activation=jnp.tanh, dtype=dt
+            self.image_size * self.filter_num, activation=jnp.tanh, dtype=dt,
+            bn_backend=bnb,
         )
         fu = self.fused_upsample
-        self.fc = DenseBN(ngf * 4 * 4, activation=nn.relu, use_bias=False, dtype=dt)
-        self.upsample1 = UpBlockM(ngf // 2, dtype=dt, fused=fu)
-        self.upsample2 = UpBlockM(ngf // 4, dtype=dt, fused=fu)
-        self.upsample3 = UpBlockM(ngf // 8, dtype=dt, fused=fu)
-        self.upsample4 = UpBlockM(ngf // 16, dtype=dt, fused=fu)
+        self.fc = DenseBN(ngf * 4 * 4, activation=nn.relu, use_bias=False, dtype=dt,
+                          bn_backend=bnb)
+        self.upsample1 = UpBlockM(ngf // 2, dtype=dt, fused=fu, bn_backend=bnb)
+        self.upsample2 = UpBlockM(ngf // 4, dtype=dt, fused=fu, bn_backend=bnb)
+        self.upsample3 = UpBlockM(ngf // 8, dtype=dt, fused=fu, bn_backend=bnb)
+        self.upsample4 = UpBlockM(ngf // 16, dtype=dt, fused=fu, bn_backend=bnb)
         self.img = Conv3x3(self.n_channels, dtype=dt)
 
         if self.use_segment:
             self.seg_c = Conv3x3(ngf, dtype=dt)
             self.seg_c1 = Conv3x3(ngf // 2, dtype=dt)
             self.fc_seg = DenseBN(
-                ngf_seg * 4 * 4, activation=nn.relu, use_bias=False, dtype=dt
+                ngf_seg * 4 * 4, activation=nn.relu, use_bias=False, dtype=dt,
+                bn_backend=bnb,
             )
-            self.upsample1_seg = UpBlockM(ngf_seg // 2, dtype=dt, fused=fu)
-            self.upsample2_seg = UpBlockM(ngf_seg // 4, dtype=dt, fused=fu)
-            self.upsample3_seg = UpBlockM(ngf_seg // 8, dtype=dt, fused=fu)
-            self.upsample4_seg = UpBlockM(ngf_seg // 16, dtype=dt, fused=fu)
+            self.upsample1_seg = UpBlockM(ngf_seg // 2, dtype=dt, fused=fu, bn_backend=bnb)
+            self.upsample2_seg = UpBlockM(ngf_seg // 4, dtype=dt, fused=fu, bn_backend=bnb)
+            self.upsample3_seg = UpBlockM(ngf_seg // 8, dtype=dt, fused=fu, bn_backend=bnb)
+            self.upsample4_seg = UpBlockM(ngf_seg // 16, dtype=dt, fused=fu, bn_backend=bnb)
             self.img_seg = Conv3x3(1, dtype=dt)
             if self.cascade:
                 # mask re-encoder (reference cascade_model.py:312-320)
                 self.presample_conv = Conv3x3(ngf_seg // 16, dtype=dt)
-                self.presample_bn = make_batchnorm(dtype=dt)
-                self.downsample1_seg = DownBlockM(ngf_seg // 8, dtype=dt)
-                self.downsample2_seg = DownBlockM(ngf_seg // 4, dtype=dt)
-                self.downsample3_seg = DownBlockM(ngf_seg // 2, dtype=dt)
-                self.downsample4_seg = DownBlockM(ngf_seg, dtype=dt)
+                self.presample_bn = make_batchnorm(dtype=dt, backend=bnb)
+                self.downsample1_seg = DownBlockM(ngf_seg // 8, dtype=dt, bn_backend=bnb)
+                self.downsample2_seg = DownBlockM(ngf_seg // 4, dtype=dt, bn_backend=bnb)
+                self.downsample3_seg = DownBlockM(ngf_seg // 2, dtype=dt, bn_backend=bnb)
+                self.downsample4_seg = DownBlockM(ngf_seg, dtype=dt, bn_backend=bnb)
 
-        self.m_net = DenseBN(self.motion_dim, dtype=dt)
-        self.c_net = DenseBN(self.content_dim, dtype=dt)
+        self.m_net = DenseBN(self.motion_dim, dtype=dt, bn_backend=bnb)
+        self.c_net = DenseBN(self.content_dim, dtype=dt, bn_backend=bnb)
         self.recurrent = GRUCell(self.motion_dim, dtype=dt)
         self.mocornn = GRUCell(self.content_dim, dtype=dt)
 

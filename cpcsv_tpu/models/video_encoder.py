@@ -45,6 +45,7 @@ def _pad3(p):
 
 class VideoEncoder(nn.Module):
     dtype: Any = None
+    bn_backend: str = "xla"  # cfg.BN_BACKEND
 
     @nn.compact
     def __call__(self, story: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -54,20 +55,20 @@ class VideoEncoder(nn.Module):
         x = SNConv(45, (1, 7, 7), (1, 2, 2), _pad3((0, 3, 3)), dtype=self.dtype, name="stem0")(
             x, sn_update=train
         )
-        x = make_batchnorm(dtype=self.dtype, name="stem0_bn")(x, use_running_average=not train)
+        x = make_batchnorm(dtype=self.dtype, name="stem0_bn", backend=self.bn_backend)(x, use_running_average=not train)
         x = nn.relu(x)
         # kernel (1,1,1) with temporal padding 1: T -> T+2 (reference quirk)
         x = SNConv(64, (1, 1, 1), (1, 1, 1), _pad3((1, 0, 0)), dtype=self.dtype, name="stem1")(
             x, sn_update=train
         )
-        x = make_batchnorm(dtype=self.dtype, name="stem1_bn")(x, use_running_average=not train)
+        x = make_batchnorm(dtype=self.dtype, name="stem1_bn", backend=self.bn_backend)(x, use_running_average=not train)
         x = nn.relu(x)
         # ---- body
         for i, (feat, k, s, p) in enumerate(_BODY):
             x = SNConv(feat, k, s, _pad3(p), dtype=self.dtype, name=f"body{i}")(
                 x, sn_update=train
             )
-            x = make_batchnorm(dtype=self.dtype, name=f"body{i}_bn")(
+            x = make_batchnorm(dtype=self.dtype, name=f"body{i}_bn", backend=self.bn_backend)(
                 x, use_running_average=not train
             )
             x = nn.leaky_relu(x, 0.2)
@@ -75,6 +76,6 @@ class VideoEncoder(nn.Module):
         latents = x.mean(axis=(1, 2, 3))
         # ---- detector MLP (reference model.py:193-198)
         h = SNDense(128, dtype=self.dtype, name="det0")(latents, sn_update=train)
-        h = make_batchnorm(dtype=self.dtype, name="det_bn")(h, use_running_average=not train)
+        h = make_batchnorm(dtype=self.dtype, name="det_bn", backend=self.bn_backend)(h, use_running_average=not train)
         h = nn.relu(h)
         return SNDense(1, dtype=self.dtype, name="det1")(h, sn_update=train)

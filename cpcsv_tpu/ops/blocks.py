@@ -23,7 +23,24 @@ def bn_scale_init(rng, shape, dtype=jnp.float32):
     return 1.0 + 0.02 * jax.random.normal(rng, shape, dtype)
 
 
-def make_batchnorm(dtype=None, name: str | None = None) -> nn.BatchNorm:
+def make_batchnorm(dtype=None, name: str | None = None, backend: str = "xla"):
+    """BatchNorm matching torch defaults. backend:
+      "xla"    — flax nn.BatchNorm (default)
+      "pallas" — ops.batchnorm.PallasBatchNorm: identical semantics and
+                 variable layout, channel reductions as Pallas kernels
+                 (~2.5x faster than XLA's lowering on v5e — see
+                 ops/pallas/bn.py; selected via cfg.BN_BACKEND)."""
+    if backend == "pallas":
+        from cpcsv_tpu.ops.batchnorm import PallasBatchNorm
+
+        return PallasBatchNorm(
+            use_running_average=None,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=dtype,
+            scale_init=bn_scale_init,
+            name=name,
+        )
     return nn.BatchNorm(
         use_running_average=None,  # caller passes use_running_average
         momentum=0.9,  # flax: new = m*old + (1-m)*batch  == torch momentum 0.1
@@ -123,6 +140,7 @@ class UpBlock(nn.Module):
     # numerically equivalent to upsample-then-conv (test_fused_upsample.py);
     # pick by measured step time (PARITY.md "Measured perf experiments").
     fused: str = "off"
+    bn_backend: str = "xla"  # cfg.BN_BACKEND
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -133,7 +151,9 @@ class UpBlock(nn.Module):
         else:
             x = nearest_upsample_2x(x)
             x = Conv3x3(self.features, dtype=self.dtype, name="conv")(x)
-        x = make_batchnorm(dtype=self.dtype, name="bn")(x, use_running_average=not train)
+        x = make_batchnorm(dtype=self.dtype, name="bn", backend=self.bn_backend)(
+            x, use_running_average=not train
+        )
         return nn.relu(x)
 
 
@@ -143,6 +163,7 @@ class DownBlock(nn.Module):
 
     features: int
     dtype: Any = None
+    bn_backend: str = "xla"  # cfg.BN_BACKEND
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -156,7 +177,9 @@ class DownBlock(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = make_batchnorm(dtype=self.dtype, name="bn")(x, use_running_average=not train)
+        x = make_batchnorm(dtype=self.dtype, name="bn", backend=self.bn_backend)(
+            x, use_running_average=not train
+        )
         return nn.relu(x)
 
 
@@ -168,6 +191,7 @@ class DenseBN(nn.Module):
     activation: Callable[[jnp.ndarray], jnp.ndarray] | None = None
     use_bias: bool = True
     dtype: Any = None
+    bn_backend: str = "xla"  # cfg.BN_BACKEND
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -178,7 +202,9 @@ class DenseBN(nn.Module):
             dtype=self.dtype,
             name="dense",
         )(x)
-        x = make_batchnorm(dtype=self.dtype, name="bn")(x, use_running_average=not train)
+        x = make_batchnorm(dtype=self.dtype, name="bn", backend=self.bn_backend)(
+            x, use_running_average=not train
+        )
         if self.activation is not None:
             x = self.activation(x)
         return x

@@ -81,6 +81,43 @@ def capture(trace_dir: str, steps: int, mode: str = "split"):
     jax.profiler.stop_trace()
 
 
+def analyze_categories(trace_dir: str):
+    """Aggregate device time by op-name CATEGORY (fusion kind / op family,
+    the name with trailing .N stripped and digits collapsed) for the 'XLA
+    Ops' line — the view that answers "where do the milliseconds go" when
+    time is smeared over hundreds of small fusions."""
+    import re
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
+    for path in paths:
+        space = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            space.ParseFromString(f.read())
+        for plane in space.planes:
+            if "TPU" not in plane.name and "device" not in plane.name.lower():
+                continue
+            meta = {m.id: m.name for m in plane.event_metadata.values()}
+            for line in plane.lines:
+                if line.name != "XLA Ops":
+                    continue
+                agg = collections.Counter()
+                total = 0
+                for ev in line.events:
+                    name = meta.get(ev.metadata_id, str(ev.metadata_id))
+                    base = name.split(" = ")[0].lstrip("%")
+                    cat = re.sub(r"[.\d]+$", "", base)
+                    if cat.startswith("while"):
+                        continue  # the scan wrapper double-counts its body
+                    agg[cat] += ev.duration_ps
+                    total += ev.duration_ps
+                print(f"\n=== CATEGORY view '{plane.name}' (body total "
+                      f"{total/1e9:.1f} ms) ===")
+                for cat, ps in agg.most_common(30):
+                    print(f"  {ps/1e9:10.3f} ms  {100*ps/total:5.1f}%  {cat}")
+
+
 def analyze(trace_dir: str, top: int = 40):
     from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: E501
 
@@ -118,11 +155,16 @@ def main():
                     help="scan = the production SCAN_STEPS program")
     ap.add_argument("--keep", default=None, help="trace dir (kept); default: temp")
     ap.add_argument("--analyze-only", default=None, help="skip capture, parse DIR")
+    ap.add_argument("--categories", action="store_true",
+                    help="aggregate by op-name category instead of per-op")
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
 
     if args.analyze_only:
-        analyze(args.analyze_only, args.top)
+        if args.categories:
+            analyze_categories(args.analyze_only)
+        else:
+            analyze(args.analyze_only, args.top)
         return
     trace_dir = args.keep or tempfile.mkdtemp(prefix="cpcsv_trace_")
     capture(trace_dir, args.steps, args.mode)
