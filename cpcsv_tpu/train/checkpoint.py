@@ -12,6 +12,7 @@ loses Adam moments and restarts the LR schedule.
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Optional
 
 import jax
@@ -48,16 +49,60 @@ class CheckpointManager:
         self._ckptr.save(
             self._path(f"netG_epoch_{epoch}"), state.gen.variables(), force=True
         )
-        self._ckptr.save(self._path("train_state_last"), state, force=True)
+        self._save_state_atomic(state)
         with open(self._path("last_epoch.txt"), "w") as f:
             f.write(str(epoch if completed is None else completed))
 
+    def _save_state_atomic(self, state: TrainState):
+        """Crash-safe full-state save. Orbax's `force=True` DELETES the
+        existing checkpoint before writing the replacement, so a kill during
+        the save (found by the round-3 dress rehearsal: only a
+        `.orbax-checkpoint-tmp` left behind) loses the only full train state
+        and breaks auto-resume. Stage-and-swap instead: write to a staging
+        path, then rotate previous -> .old -> swap staging in. At every
+        instant either `train_state_last` or `train_state_last.old` is a
+        complete checkpoint; restore() falls back to .old."""
+        final = self._path("train_state_last")
+        staging = final + ".new"
+        old = final + ".old"
+        primary = jax.process_index() == 0
+        if primary and os.path.exists(staging):
+            shutil.rmtree(staging)
+        self._ckptr.save(staging, state, force=True)  # all processes join
+        if primary:
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            if os.path.exists(final):
+                os.rename(final, old)
+            os.rename(staging, final)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("cpcsv_ckpt_swap")
+
     def restore(self, template: TrainState, epoch: Optional[int] = None) -> TrainState:
         """Restore the full state; if `epoch` is given, overwrite generator
-        variables from that epoch's snapshot (reference --continue_ckpt)."""
-        state = self._ckptr.restore(
-            self._path("train_state_last"), item=template
-        )
+        variables from that epoch's snapshot (reference --continue_ckpt).
+
+        Falls back to the stage-and-swap siblings (.new — complete but not
+        yet swapped in; .old — the pre-swap state) when a crash interrupted
+        `_save_state_atomic` mid-rotation."""
+        final = self._path("train_state_last")
+        path = final
+        if not os.path.exists(final):
+            for alt in (final + ".new", final + ".old"):
+                if os.path.exists(alt):
+                    import warnings
+
+                    warnings.warn(
+                        f"train_state_last missing (crash during save?); "
+                        f"restoring from {os.path.basename(alt)}"
+                    )
+                    path = alt
+                    break
+        state = self._ckptr.restore(path, item=template)
         if epoch is not None:
             g_path = self._path(f"netG_epoch_{epoch}")
             if os.path.exists(g_path):

@@ -114,6 +114,63 @@ def test_auto_resume_skips_completed_epoch(tmp_path):
     assert int(state2.step) == steps_per_epoch  # no duplicated epoch
 
 
+def test_checkpoint_survives_crash_during_save(tmp_path):
+    """Crash-safety (found by the round-3 dress rehearsal): Orbax force=True
+    deletes the existing train_state_last before writing its replacement, so
+    a kill mid-save used to lose the ONLY full train state. The
+    stage-and-swap save must leave a restorable checkpoint at every instant,
+    and restore() must fall back to the .new/.old siblings."""
+    import shutil
+
+    from cpcsv_tpu.models import build_models
+    from cpcsv_tpu.train.checkpoint import CheckpointManager
+    from cpcsv_tpu.train.state import create_train_state
+
+    cfg = tiny_cfg(tmp_path, cascade=False)
+    models = build_models(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), models)
+    ckpt = CheckpointManager(str(tmp_path / "Model"))
+    ckpt.save(state, 0)
+    model_dir = str(tmp_path / "Model")
+    assert os.path.exists(os.path.join(model_dir, "train_state_last"))
+    # no leftover staging/old dirs after a clean save
+    assert not os.path.exists(os.path.join(model_dir, "train_state_last.new"))
+    assert not os.path.exists(os.path.join(model_dir, "train_state_last.old"))
+
+    # simulate "crashed between final->old and staging->final": only .old
+    os.rename(
+        os.path.join(model_dir, "train_state_last"),
+        os.path.join(model_dir, "train_state_last.old"),
+    )
+    template = create_train_state(cfg, jax.random.PRNGKey(9), models)
+    with pytest.warns(UserWarning, match="crash during save"):
+        restored = ckpt.restore(template)
+    a = np.asarray(jax.tree.leaves(state.gen.params)[0])
+    b = np.asarray(jax.tree.leaves(restored.gen.params)[0])
+    np.testing.assert_array_equal(a, b)
+
+    # simulate "crashed after staging finalized, before swap": only .new
+    os.rename(
+        os.path.join(model_dir, "train_state_last.old"),
+        os.path.join(model_dir, "train_state_last.new"),
+    )
+    with pytest.warns(UserWarning, match="crash during save"):
+        restored2 = ckpt.restore(template)
+    np.testing.assert_array_equal(
+        a, np.asarray(jax.tree.leaves(restored2.gen.params)[0])
+    )
+
+    # a second save on top of the leftovers still works and cleans up
+    os.rename(
+        os.path.join(model_dir, "train_state_last.new"),
+        os.path.join(model_dir, "train_state_last"),
+    )
+    ckpt.save(state, 1)
+    assert os.path.exists(os.path.join(model_dir, "train_state_last"))
+    assert not os.path.exists(os.path.join(model_dir, "train_state_last.new"))
+    assert not os.path.exists(os.path.join(model_dir, "train_state_last.old"))
+
+
 def test_auto_resume_extends_finished_run_without_skipping(tmp_path):
     """Re-running a FINISHED run with a raised MAX_EPOCH must train every new
     epoch: the end-of-run save keeps the reference netG_epoch_{MAX_EPOCH}
