@@ -20,6 +20,9 @@ semantics and variable layout:
 
 On non-TPU backends the kernels run in interpret mode (tests); production
 selection is cfg.BN_BACKEND ("xla" keeps flax, "pallas" uses this module).
+Single-device only: Mosaic custom calls carry no GSPMD partitioning rule,
+so a sharded batch would be replicated (or fail to partition) at every BN —
+the trainer rejects BN_BACKEND='pallas' when mesh.size > 1.
 """
 
 from __future__ import annotations

@@ -30,6 +30,10 @@ def make_batchnorm(dtype=None, name: str | None = None, backend: str = "xla"):
                  variable layout, channel reductions as Pallas kernels
                  (~2.5x faster than XLA's lowering on v5e — see
                  ops/pallas/bn.py; selected via cfg.BN_BACKEND)."""
+    if backend not in ("xla", "pallas"):
+        # loud failure: a typo'd A/B knob silently measuring the default arm
+        # is exactly the measurement artifact this repo's history warns about
+        raise ValueError(f"BN_BACKEND must be 'xla' or 'pallas', got {backend!r}")
     if backend == "pallas":
         from cpcsv_tpu.ops.batchnorm import PallasBatchNorm
 

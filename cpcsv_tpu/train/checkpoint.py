@@ -50,8 +50,14 @@ class CheckpointManager:
             self._path(f"netG_epoch_{epoch}"), state.gen.variables(), force=True
         )
         self._save_state_atomic(state)
-        with open(self._path("last_epoch.txt"), "w") as f:
-            f.write(str(epoch if completed is None else completed))
+        if jax.process_index() == 0:
+            # primary-only + write-tmp-then-rename: multi-host runs share
+            # model_dir, and a concurrent/interrupted truncate-write would
+            # leave an empty file that kills the next auto-resume.
+            marker = self._path("last_epoch.txt")
+            with open(marker + ".tmp", "w") as f:
+                f.write(str(epoch if completed is None else completed))
+            os.replace(marker + ".tmp", marker)
 
     def _save_state_atomic(self, state: TrainState):
         """Crash-safe full-state save. Orbax's `force=True` DELETES the
@@ -86,13 +92,18 @@ class CheckpointManager:
         """Restore the full state; if `epoch` is given, overwrite generator
         variables from that epoch's snapshot (reference --continue_ckpt).
 
-        Falls back to the stage-and-swap siblings (.new — complete but not
-        yet swapped in; .old — the pre-swap state) when a crash interrupted
-        `_save_state_atomic` mid-rotation."""
+        Falls back to the stage-and-swap siblings when a crash interrupted
+        `_save_state_atomic` mid-rotation. `.old` (the pre-swap state) is
+        preferred over `.new` (complete but not yet swapped in): last_epoch.txt
+        is only written AFTER the state save, so after a mid-rotation crash it
+        still labels the .old state — resuming from .old is exact, while
+        resuming from .new would re-train epochs whose updates it already
+        contains (double Adam moments / BN stats). `.new` is only used when no
+        .old exists (crash during the first-ever save's rotation)."""
         final = self._path("train_state_last")
         path = final
         if not os.path.exists(final):
-            for alt in (final + ".new", final + ".old"):
+            for alt in (final + ".old", final + ".new"):
                 if os.path.exists(alt):
                     import warnings
 
@@ -103,6 +114,17 @@ class CheckpointManager:
                     path = alt
                     break
         state = self._ckptr.restore(path, item=template)
+        # Orbax returns leaves in their ON-DISK dtype, not the template's.
+        # Cast back so a config flip between runs (e.g. ADAM_MU_DTYPE
+        # fp32<->bf16) cannot smuggle a mismatched dtype into the jitted
+        # step's carry (scan would fail with an opaque carry-type error).
+        state = jax.tree.map(
+            lambda t, x: x.astype(t.dtype)
+            if hasattr(t, "dtype") and hasattr(x, "dtype") and x.dtype != t.dtype
+            else x,
+            template,
+            state,
+        )
         if epoch is not None:
             g_path = self._path(f"netG_epoch_{epoch}")
             if os.path.exists(g_path):

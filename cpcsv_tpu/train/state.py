@@ -29,8 +29,14 @@ def make_adam(cfg: Optional[Config] = None) -> optax.GradientTransformation:
     HBM traffic of the four per-net Adam updates. A/B knob for the MFU push;
     default fp32."""
     mu_dtype = None
-    if cfg is not None and getattr(cfg, "ADAM_MU_DTYPE", "float32") == "bfloat16":
-        mu_dtype = jnp.bfloat16
+    if cfg is not None:
+        requested = getattr(cfg, "ADAM_MU_DTYPE", "float32")
+        if requested not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"ADAM_MU_DTYPE must be 'float32' or 'bfloat16', got {requested!r}"
+            )
+        if requested == "bfloat16":
+            mu_dtype = jnp.bfloat16
     return optax.scale_by_adam(b1=0.5, b2=0.999, eps=1e-8, mu_dtype=mu_dtype)
 
 

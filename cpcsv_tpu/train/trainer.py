@@ -87,6 +87,17 @@ class GANTrainer:
         self.seed = seed
 
         self.mesh = make_mesh(cfg.MESH_SHAPE)
+        if cfg.BN_BACKEND == "pallas" and self.mesh.size > 1:
+            # Mosaic custom calls have no GSPMD partitioning rule: under a
+            # sharded batch the pallas_call either fails to partition or
+            # replicates (all-gathering every BN layer's activations).
+            # The backend is a single-chip experimental opt-in; fail loudly
+            # rather than silently de-sharding the data-parallel step.
+            raise ValueError(
+                "BN_BACKEND='pallas' is single-device only (no SPMD "
+                "partitioning rule for the Pallas reductions); use "
+                "BN_BACKEND='xla' with a multi-device MESH_SHAPE"
+            )
         self.models = build_models(cfg)
         self.d_step, self.g_step = make_train_steps(cfg, self.models, ratio=ratio)
         # cfg.SCAN_STEPS > 1: K alternating updates per dispatch (measured

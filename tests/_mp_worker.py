@@ -28,6 +28,10 @@ if __name__ == "__main__":
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 2)
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    # same persistent compilation cache as tests/conftest.py: the scan-step
+    # module alone takes ~2 min to compile cold on this single-core host, and
+    # two workers compiling concurrently put the test over its timeout
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 
 
 def make_global_batches(cfg, B, seed=0):

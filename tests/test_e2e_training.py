@@ -6,6 +6,7 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -169,6 +170,89 @@ def test_checkpoint_survives_crash_during_save(tmp_path):
     assert os.path.exists(os.path.join(model_dir, "train_state_last"))
     assert not os.path.exists(os.path.join(model_dir, "train_state_last.new"))
     assert not os.path.exists(os.path.join(model_dir, "train_state_last.old"))
+
+
+def test_crash_fallback_prefers_old_over_new(tmp_path):
+    """Crash mid-rotation leaves BOTH .old and .new. last_epoch.txt is written
+    only after the state save, so it still labels the .old state — restore
+    must pick .old (exact resume); picking .new would re-train epochs whose
+    updates it already contains."""
+    from cpcsv_tpu.models import build_models
+    from cpcsv_tpu.train.checkpoint import CheckpointManager
+    from cpcsv_tpu.train.state import create_train_state
+
+    cfg = tiny_cfg(tmp_path, cascade=False)
+    models = build_models(cfg)
+    state_a = create_train_state(cfg, jax.random.PRNGKey(0), models)
+    state_b = create_train_state(cfg, jax.random.PRNGKey(5), models)
+    ckpt = CheckpointManager(str(tmp_path / "Model"))
+    model_dir = str(tmp_path / "Model")
+
+    ckpt.save(state_a, 0)
+    os.rename(
+        os.path.join(model_dir, "train_state_last"),
+        os.path.join(model_dir, "train_state_last.old"),
+    )
+    ckpt.save(state_b, 1)
+    os.rename(
+        os.path.join(model_dir, "train_state_last"),
+        os.path.join(model_dir, "train_state_last.new"),
+    )
+    template = create_train_state(cfg, jax.random.PRNGKey(9), models)
+    with pytest.warns(UserWarning, match="crash during save"):
+        restored = ckpt.restore(template)
+    a = np.asarray(jax.tree.leaves(state_a.gen.params)[0])
+    got = np.asarray(jax.tree.leaves(restored.gen.params)[0])
+    np.testing.assert_array_equal(a, got)
+
+
+def test_restore_casts_adam_mu_dtype(tmp_path):
+    """Flipping cfg.ADAM_MU_DTYPE between runs must not smuggle the on-disk
+    dtype into the restored state (a bf16 mu in an fp32 program changes the
+    jitted step's carry types and fails scan compilation)."""
+    from cpcsv_tpu.models import build_models
+    from cpcsv_tpu.train.checkpoint import CheckpointManager
+    from cpcsv_tpu.train.state import create_train_state
+
+    cfg_bf = tiny_cfg(tmp_path, cascade=False).with_updates(
+        ADAM_MU_DTYPE="bfloat16"
+    )
+    cfg_fp = tiny_cfg(tmp_path, cascade=False)
+    models = build_models(cfg_fp)
+    state_bf = create_train_state(cfg_bf, jax.random.PRNGKey(0), models)
+    assert any(
+        l.dtype == jnp.bfloat16 for l in jax.tree.leaves(state_bf.gen.opt_state)
+    )
+    ckpt = CheckpointManager(str(tmp_path / "Model"))
+    ckpt.save(state_bf, 0)
+
+    template = create_train_state(cfg_fp, jax.random.PRNGKey(9), models)
+    restored = ckpt.restore(template)
+    for t, x in zip(jax.tree.leaves(template), jax.tree.leaves(restored)):
+        if hasattr(t, "dtype"):
+            assert x.dtype == t.dtype, f"restored {x.dtype} != template {t.dtype}"
+
+
+def test_trainer_rejects_pallas_bn_on_multidevice_mesh(tmp_path):
+    """BN_BACKEND='pallas' is single-device only (Mosaic custom calls carry
+    no GSPMD partitioning rule); the trainer must fail loudly instead of
+    silently replicating every BN's activations across the mesh."""
+    cfg = tiny_cfg(tmp_path, cascade=False).with_updates(BN_BACKEND="pallas")
+    assert jax.device_count() > 1  # conftest's 8-device virtual CPU mesh
+    with pytest.raises(ValueError, match="single-device"):
+        GANTrainer(cfg, str(tmp_path / "run_pallas_mesh"), seed=0)
+
+
+def test_invalid_backend_knobs_fail_loudly():
+    """A typo'd A/B knob must not silently measure the default arm."""
+    from cpcsv_tpu.ops.blocks import make_batchnorm
+    from cpcsv_tpu.train.state import make_adam
+
+    with pytest.raises(ValueError, match="BN_BACKEND"):
+        make_batchnorm(backend="Pallas")
+    cfg = default_config().with_updates(ADAM_MU_DTYPE="bf16")
+    with pytest.raises(ValueError, match="ADAM_MU_DTYPE"):
+        make_adam(cfg)
 
 
 def test_auto_resume_extends_finished_run_without_skipping(tmp_path):

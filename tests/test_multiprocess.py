@@ -55,10 +55,19 @@ def test_two_process_train_matches_single_process(tmp_path):
         for i in range(2)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
-        outs.append(out)
+    try:
+        for p in procs:
+            # 1500 s: cold-cache compiles (~2 min per scan module per worker,
+            # single host core) fit; warm runs via the shared persistent
+            # compilation cache finish in a few minutes
+            out, _ = p.communicate(timeout=1500)
+            assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
 
     step_m = [_parse(o, "MP_METRICS") for o in outs]
     scan_m = [_parse(o, "MP_SCAN_METRICS") for o in outs]

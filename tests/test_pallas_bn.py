@@ -140,3 +140,14 @@ def test_bn_kernels_on_device_vs_host():
         xf = np.asarray(x, np.float32)
         np.testing.assert_allclose(np.asarray(s), xf.sum(0), rtol=1e-4, atol=1e-2)
         np.testing.assert_allclose(np.asarray(q), (xf * xf).sum(0), rtol=1e-4, atol=1e-2)
+        # backward kernel too — a Mosaic miscompile here would silently
+        # corrupt every BN gradient of a BN_BACKEND=pallas run
+        dy = jnp.asarray(rng.standard_normal((M, C)).astype(np.float32))
+        mean = jnp.asarray(xf.mean(0))
+        inv = jnp.asarray(1.0 / (xf.std(0) + 1e-5))
+        sdy, sdyx = bn_grad_reduce(x, dy, mean, inv)
+        xhat = (xf - np.asarray(mean)) * np.asarray(inv)
+        np.testing.assert_allclose(np.asarray(sdy), np.asarray(dy).sum(0),
+                                   rtol=1e-4, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(sdyx), (np.asarray(dy) * xhat).sum(0),
+                                   rtol=1e-4, atol=5e-2)

@@ -91,6 +91,10 @@ def analyze_categories(trace_dir: str):
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
+    if not paths:
+        print("no xplane.pb found under", trace_dir)
+        return
+    matched = False
     for path in paths:
         space = xplane_pb2.XSpace()
         with open(path, "rb") as f:
@@ -112,10 +116,15 @@ def analyze_categories(trace_dir: str):
                         continue  # the scan wrapper double-counts its body
                     agg[cat] += ev.duration_ps
                     total += ev.duration_ps
+                if total == 0:
+                    continue  # only while-wrapper events on this line
+                matched = True
                 print(f"\n=== CATEGORY view '{plane.name}' (body total "
                       f"{total/1e9:.1f} ms) ===")
                 for cat, ps in agg.most_common(30):
                     print(f"  {ps/1e9:10.3f} ms  {100*ps/total:5.1f}%  {cat}")
+    if not matched:
+        print("no device 'XLA Ops' events found — is this a device trace?")
 
 
 def analyze(trace_dir: str, top: int = 40):
