@@ -54,6 +54,19 @@ def make_global_batches(cfg, B, seed=0):
     return st, im
 
 
+def _barrier(name, timeout_ms=1_500_000):
+    """Coordination-service barrier (NOT a gloo collective — usable before any
+    gloo context exists). Needed because gloo context init has a hard ~30 s
+    rendezvous timeout: if one worker hits the persistent compile cache and
+    dispatches its first collective while the other cold-compiles for minutes,
+    the fast worker's gloo GetKeyValue times out and the run dies. All
+    collective-bearing programs are therefore AOT-compiled first, then both
+    workers meet here before the first dispatch."""
+    from jax._src import distributed
+
+    distributed.global_state.client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+
 def main():
     pid, port = int(sys.argv[1]), int(sys.argv[2])
     ckpt_dir = sys.argv[3] if len(sys.argv) > 3 else None
@@ -79,22 +92,14 @@ def main():
     models = build_models(cfg)
     state = create_train_state(cfg, jax.random.PRNGKey(0), models)
 
-    # ---- leg 1: split per-step dispatch on local slices of a global batch
+    # ---- build ALL batches, then AOT-compile every collective-bearing
+    # program BEFORE any of them executes (see _barrier docstring)
     B = 4
     lo, hi = pid * (B // 2), (pid + 1) * (B // 2)
     st_global, im_global = make_global_batches(cfg, B, seed=0)
     st_batch = shard_batch({k: v[lo:hi] for k, v in st_global.items()}, mesh)
     im_batch = shard_batch({k: v[lo:hi] for k, v in im_global.items()}, mesh)
 
-    d_step, g_step = make_train_steps(cfg, models)
-    state, d_metrics = d_step(state, jax.random.PRNGKey(1), st_batch, im_batch, 4e-4)
-    state, g_metrics = g_step(state, jax.random.PRNGKey(2), st_batch, im_batch, 1e-4)
-    jax.block_until_ready(state)
-
-    out = {k: float(np.asarray(v)) for k, v in {**d_metrics, **g_metrics}.items()}
-    print("MP_METRICS", json.dumps(out), flush=True)
-
-    # ---- leg 2: production SCAN_STEPS path, K=2 stacked batches
     K = 2
     st_steps, im_steps = [], []
     for j in range(K):
@@ -105,7 +110,23 @@ def main():
     st_k = shard_batch(stack(st_steps), mesh, scan_axis=True)
     im_k = shard_batch(stack(im_steps), mesh, scan_axis=True)
 
+    d_step, g_step = make_train_steps(cfg, models)
     scan_steps = make_scan_steps(cfg, models)
+    key = jax.random.PRNGKey(0)
+    d_step = d_step.lower(state, key, st_batch, im_batch, 4e-4).compile()
+    g_step = g_step.lower(state, key, st_batch, im_batch, 1e-4).compile()
+    scan_steps = scan_steps.lower(state, key, st_k, im_k, 4e-4, 1e-4).compile()
+    _barrier("precompiled")
+
+    # ---- leg 1: split per-step dispatch on local slices of a global batch
+    state, d_metrics = d_step(state, jax.random.PRNGKey(1), st_batch, im_batch, 4e-4)
+    state, g_metrics = g_step(state, jax.random.PRNGKey(2), st_batch, im_batch, 1e-4)
+    jax.block_until_ready(state)
+
+    out = {k: float(np.asarray(v)) for k, v in {**d_metrics, **g_metrics}.items()}
+    print("MP_METRICS", json.dumps(out), flush=True)
+
+    # ---- leg 2: production SCAN_STEPS path, K=2 stacked batches
     state, scan_metrics = scan_steps(
         state, jax.random.PRNGKey(3), st_k, im_k, 4e-4, 1e-4
     )
