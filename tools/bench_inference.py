@@ -22,11 +22,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="18,36,72")
     ap.add_argument("--iters", type=int, default=10)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     from cpcsv_tpu.models import build_models
     from cpcsv_tpu.train import create_train_state
@@ -78,9 +78,28 @@ def main():
             _ = float(jnp.mean(video))
         dt = (time.perf_counter() - t0) / args.iters
         fps = b * T / dt
+
+        # Pipelined (double-buffered) serving cadence: keep one call in
+        # flight — dispatch i+1, THEN read back i's scalar. Every output is
+        # still read back on the host (completion of every call is forced,
+        # so the total wall-clock is honest), but the per-call tunnel
+        # round trip overlaps device execution, as a real serving loop
+        # would. One outstanding call only: deeper queues re-enter the
+        # no-intervening-readback serialization regime.
+        key, sub = jax.random.split(key)
+        prev = jnp.mean(sample(gen_vars, motion, content, sub))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            key, sub = jax.random.split(key)
+            cur = jnp.mean(sample(gen_vars, motion, content, sub))
+            _ = float(prev)
+            prev = cur
+        _ = float(prev)
+        dtp = (time.perf_counter() - t0) / (args.iters + 1)
         print(
             f"batch {b:4d} stories ({b*T} frames): {dt*1e3:7.2f} ms/call, "
-            f"{fps:9.0f} frames/s"
+            f"{fps:9.0f} frames/s | pipelined {dtp*1e3:7.2f} ms/call, "
+            f"{b*T/dtp:9.0f} frames/s"
         )
 
 
