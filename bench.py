@@ -39,12 +39,40 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_
 V5E_BF16_PEAK_FLOPS = 197e12  # one v5e chip
 
 
+def _arm_watchdog():
+    """A dead TPU tunnel makes the very first device op hang forever (seen
+    2026-08-17: the tunnel relay died and every jax call blocked). Rather
+    than stall the whole bench pipeline, exit with a diagnosable JSON line
+    after CPCSV_BENCH_WATCHDOG_MIN minutes (default 30 — generous enough for
+    a cold compile over the tunnel; 0 disables)."""
+    import threading
+
+    minutes = float(os.environ.get("CPCSV_BENCH_WATCHDOG_MIN", "30"))
+    if minutes <= 0:
+        return None
+
+    def _abort():
+        print(json.dumps({
+            "metric": "train_frames_per_sec_per_chip", "value": 0.0,
+            "unit": "frames/s", "vs_baseline": 0.0,
+            "error": f"watchdog: no result after {minutes:g} min — "
+                     "device hang (dead TPU tunnel?)",
+        }), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(minutes * 60.0, _abort)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     from cpcsv_tpu.config import GanConfig
     from cpcsv_tpu.models import build_models
     from cpcsv_tpu.train import create_train_state, make_train_steps
     from cpcsv_tpu.utils.benchutil import bench_config, synthetic_batches
 
+    watchdog = _arm_watchdog()
     on_tpu = jax.devices()[0].platform == "tpu"
     # A/B experiment knob: CPCSV_BENCH_OVERRIDES="REMAT=1,FUSED_UPSAMPLE=parity1"
     # applies top-level Config overrides; such runs never touch the baseline
@@ -235,6 +263,8 @@ def main():
         )
         baseline = value
 
+    if watchdog is not None:
+        watchdog.cancel()
     print(
         json.dumps(
             {
