@@ -46,28 +46,42 @@ class CheckpointManager:
         completed=MAX_EPOCH-1 — otherwise re-running a finished run with a
         raised MAX_EPOCH would resume at old_max+1 and silently skip epoch
         old_max."""
+        completed_val = epoch if completed is None else completed
         self._ckptr.save(
             self._path(f"netG_epoch_{epoch}"), state.gen.variables(), force=True
         )
-        self._save_state_atomic(state)
+        self._save_state_atomic(state, completed_val)
         if jax.process_index() == 0:
+            # advisory/legacy marker (humans + pre-label checkpoints read it);
+            # the load-bearing label is COMPLETED_EPOCH inside the checkpoint.
             # primary-only + write-tmp-then-rename: multi-host runs share
             # model_dir, and a concurrent/interrupted truncate-write would
             # leave an empty file that kills the next auto-resume.
             marker = self._path("last_epoch.txt")
             with open(marker + ".tmp", "w") as f:
-                f.write(str(epoch if completed is None else completed))
+                f.write(str(completed_val))
             os.replace(marker + ".tmp", marker)
+            # only now is it safe to drop the previous state: every surviving
+            # sibling is self-labeled, so a crash at ANY earlier instant
+            # leaves restore()/last_epoch() a consistent best checkpoint
+            old = self._path("train_state_last.old")
+            if os.path.exists(old):
+                shutil.rmtree(old)
 
-    def _save_state_atomic(self, state: TrainState):
+    _LABEL = "COMPLETED_EPOCH"
+
+    def _save_state_atomic(self, state: TrainState, completed: int):
         """Crash-safe full-state save. Orbax's `force=True` DELETES the
         existing checkpoint before writing the replacement, so a kill during
         the save (found by the round-3 dress rehearsal: only a
         `.orbax-checkpoint-tmp` left behind) loses the only full train state
         and breaks auto-resume. Stage-and-swap instead: write to a staging
-        path, then rotate previous -> .old -> swap staging in. At every
-        instant either `train_state_last` or `train_state_last.old` is a
-        complete checkpoint; restore() falls back to .old."""
+        path, label it with the completed-epoch index INSIDE the directory
+        (the label travels atomically with the rename — a separate marker
+        file can never say which sibling it describes after a crash), then
+        rotate previous -> .old -> swap staging in. At every instant at
+        least one complete, self-labeled checkpoint exists; restore() and
+        last_epoch() pick the one with the highest label."""
         final = self._path("train_state_last")
         staging = final + ".new"
         old = final + ".old"
@@ -76,43 +90,66 @@ class CheckpointManager:
             shutil.rmtree(staging)
         self._ckptr.save(staging, state, force=True)  # all processes join
         if primary:
+            with open(os.path.join(staging, self._LABEL), "w") as f:
+                f.write(str(completed))
             if os.path.exists(old):
                 shutil.rmtree(old)
             if os.path.exists(final):
                 os.rename(final, old)
             os.rename(staging, final)
-            if os.path.exists(old):
-                shutil.rmtree(old)
+            # .old is deleted by save() AFTER the advisory marker is written
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
             multihost_utils.sync_global_devices("cpcsv_ckpt_swap")
 
+    def _embedded_epoch(self, path: str) -> Optional[int]:
+        label = os.path.join(path, self._LABEL)
+        if os.path.exists(label):
+            try:
+                return int(open(label).read().strip())
+            except ValueError:
+                return None
+        return None
+
+    def _best_state_path(self) -> Optional[str]:
+        """The restorable full-state checkpoint: the sibling with the highest
+        embedded COMPLETED_EPOCH label, falling back to the legacy preference
+        final > .old > .new for unlabeled (pre-label) checkpoints. An
+        unlabeled `.new` next to labeled siblings is a crash remnant from
+        inside the labeling window and is ignored."""
+        final = self._path("train_state_last")
+        candidates = [final, final + ".old", final + ".new"]
+        labeled = [
+            (e, p)
+            for p in candidates
+            if os.path.exists(p) and (e := self._embedded_epoch(p)) is not None
+        ]
+        if labeled:
+            return max(labeled)[1]
+        for p in candidates:
+            if os.path.exists(p):
+                return p
+        return None
+
     def restore(self, template: TrainState, epoch: Optional[int] = None) -> TrainState:
         """Restore the full state; if `epoch` is given, overwrite generator
         variables from that epoch's snapshot (reference --continue_ckpt).
 
-        Falls back to the stage-and-swap siblings when a crash interrupted
-        `_save_state_atomic` mid-rotation. `.old` (the pre-swap state) is
-        preferred over `.new` (complete but not yet swapped in): last_epoch.txt
-        is only written AFTER the state save, so after a mid-rotation crash it
-        still labels the .old state — resuming from .old is exact, while
-        resuming from .new would re-train epochs whose updates it already
-        contains (double Adam moments / BN stats). `.new` is only used when no
-        .old exists (crash during the first-ever save's rotation)."""
+        Picks the stage-and-swap sibling with the highest embedded
+        COMPLETED_EPOCH label (see _best_state_path) so that a crash at ANY
+        point of the save protocol resumes exactly: the label is read from
+        inside the restored checkpoint, never from a marker file that may
+        describe a different sibling after a crash."""
         final = self._path("train_state_last")
-        path = final
-        if not os.path.exists(final):
-            for alt in (final + ".old", final + ".new"):
-                if os.path.exists(alt):
-                    import warnings
+        path = self._best_state_path() or final
+        if path != final:
+            import warnings
 
-                    warnings.warn(
-                        f"train_state_last missing (crash during save?); "
-                        f"restoring from {os.path.basename(alt)}"
-                    )
-                    path = alt
-                    break
+            warnings.warn(
+                f"train_state_last {'missing' if not os.path.exists(final) else 'stale'}"
+                f" (crash during save?); restoring from {os.path.basename(path)}"
+            )
         state = self._ckptr.restore(path, item=template)
         # Orbax returns leaves in their ON-DISK dtype, not the template's.
         # Cast back so a config flip between runs (e.g. ADAM_MU_DTYPE
@@ -159,6 +196,14 @@ class CheckpointManager:
         )
 
     def last_epoch(self) -> Optional[int]:
+        """Last fully trained epoch, read from the best checkpoint's embedded
+        label so auto-resume and restore() can never disagree; falls back to
+        the legacy last_epoch.txt for pre-label checkpoint dirs."""
+        best = self._best_state_path()
+        if best is not None:
+            embedded = self._embedded_epoch(best)
+            if embedded is not None:
+                return embedded
         p = self._path("last_epoch.txt")
         if os.path.exists(p):
             return int(open(p).read().strip())

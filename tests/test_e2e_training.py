@@ -172,11 +172,7 @@ def test_checkpoint_survives_crash_during_save(tmp_path):
     assert not os.path.exists(os.path.join(model_dir, "train_state_last.old"))
 
 
-def test_crash_fallback_prefers_old_over_new(tmp_path):
-    """Crash mid-rotation leaves BOTH .old and .new. last_epoch.txt is written
-    only after the state save, so it still labels the .old state — restore
-    must pick .old (exact resume); picking .new would re-train epochs whose
-    updates it already contains."""
+def _two_saved_states(tmp_path):
     from cpcsv_tpu.models import build_models
     from cpcsv_tpu.train.checkpoint import CheckpointManager
     from cpcsv_tpu.train.state import create_train_state
@@ -185,25 +181,78 @@ def test_crash_fallback_prefers_old_over_new(tmp_path):
     models = build_models(cfg)
     state_a = create_train_state(cfg, jax.random.PRNGKey(0), models)
     state_b = create_train_state(cfg, jax.random.PRNGKey(5), models)
-    ckpt = CheckpointManager(str(tmp_path / "Model"))
-    model_dir = str(tmp_path / "Model")
-
-    ckpt.save(state_a, 0)
-    os.rename(
-        os.path.join(model_dir, "train_state_last"),
-        os.path.join(model_dir, "train_state_last.old"),
-    )
-    ckpt.save(state_b, 1)
-    os.rename(
-        os.path.join(model_dir, "train_state_last"),
-        os.path.join(model_dir, "train_state_last.new"),
-    )
     template = create_train_state(cfg, jax.random.PRNGKey(9), models)
+    ckpt = CheckpointManager(str(tmp_path / "Model"))
+    return ckpt, str(tmp_path / "Model"), state_a, state_b, template
+
+
+def _first_param(state):
+    return np.asarray(jax.tree.leaves(state.gen.params)[0])
+
+
+def test_crash_windows_resume_exactly(tmp_path):
+    """The completed-epoch label lives INSIDE each checkpoint (it travels
+    atomically with the rename), so after a crash at ANY point of the save
+    protocol, restore() and last_epoch() agree on the same best state and
+    auto-resume is exact — no window where the marker file describes a
+    different sibling than the one restored (the round-3 review finding)."""
+    import shutil
+
+    ckpt, model_dir, state_a, state_b, template = _two_saved_states(tmp_path)
+
+    # window 1: crash AFTER the labeled staging completed, BEFORE rotation:
+    # final = epoch-0 state, .new = epoch-1 state (label 1). The newer .new
+    # must win — last_epoch()=1 and restore() return the state whose updates
+    # epoch 1 already produced, so resume trains epoch 2 next.
+    ckpt.save(state_a, 0)
+    final = os.path.join(model_dir, "train_state_last")
+    shutil.copytree(final, final + ".keep_a")
+    ckpt.save(state_b, 1)
+    os.rename(final, final + ".new")
+    os.rename(final + ".keep_a", final)
+    assert ckpt.last_epoch() == 1
     with pytest.warns(UserWarning, match="crash during save"):
         restored = ckpt.restore(template)
-    a = np.asarray(jax.tree.leaves(state_a.gen.params)[0])
-    got = np.asarray(jax.tree.leaves(restored.gen.params)[0])
-    np.testing.assert_array_equal(a, got)
+    np.testing.assert_array_equal(_first_param(state_b), _first_param(restored))
+    shutil.rmtree(final + ".new")
+
+    # window 2: crash AFTER rotation, BEFORE the advisory marker write:
+    # final = epoch-1 state (label 1), .old = epoch-0 state (label 0), but
+    # last_epoch.txt still says 0. The embedded label must override the stale
+    # marker — resuming at 1 on a state that contains epoch-1's updates would
+    # double-apply them.
+    shutil.copytree(final, final + ".old_src")
+    ckpt.save(state_b, 1)
+    os.rename(final + ".old_src", final + ".old")
+    with open(os.path.join(model_dir, "last_epoch.txt"), "w") as f:
+        f.write("0")  # stale marker, as a crash-before-marker-write leaves it
+    assert ckpt.last_epoch() == 1  # embedded label wins
+    restored2 = ckpt.restore(template)
+    np.testing.assert_array_equal(_first_param(state_b), _first_param(restored2))
+
+
+def test_crash_fallback_legacy_unlabeled_prefers_old(tmp_path):
+    """Pre-label checkpoint dirs (round-3 early format: no COMPLETED_EPOCH
+    file) keep the conservative fallback: final > .old > .new, since without
+    labels .new cannot be proven newer than the marker's state."""
+    import shutil
+
+    ckpt, model_dir, state_a, state_b, template = _two_saved_states(tmp_path)
+
+    final = os.path.join(model_dir, "train_state_last")
+    ckpt.save(state_a, 0)
+    shutil.copytree(final, str(tmp_path / "keep_a"))  # save(b) rotates a away
+    ckpt.save(state_b, 1)
+    os.rename(final, final + ".new")
+    os.rename(str(tmp_path / "keep_a"), final + ".old")
+    # strip the labels to simulate the legacy on-disk format
+    for sib in ("train_state_last.old", "train_state_last.new"):
+        label = os.path.join(model_dir, sib, "COMPLETED_EPOCH")
+        if os.path.exists(label):
+            os.remove(label)
+    with pytest.warns(UserWarning, match="crash during save"):
+        restored = ckpt.restore(template)
+    np.testing.assert_array_equal(_first_param(state_a), _first_param(restored))
 
 
 def test_restore_casts_adam_mu_dtype(tmp_path):

@@ -86,9 +86,14 @@ def main(argv=None):
         # round trip overlaps device execution, as a real serving loop
         # would. One outstanding call only: deeper queues re-enter the
         # no-intervening-readback serialization regime.
+        # t0 BEFORE the priming dispatch: its execution is inside the timed
+        # window, so dividing by iters+1 is exact (starting the clock after
+        # the priming call returns would leave that call's dispatch+overlap
+        # outside the window while still counting it — a one-way optimistic
+        # bias of up to one dispatch latency)
+        t0 = time.perf_counter()
         key, sub = jax.random.split(key)
         prev = jnp.mean(sample(gen_vars, motion, content, sub))
-        t0 = time.perf_counter()
         for _ in range(args.iters):
             key, sub = jax.random.split(key)
             cur = jnp.mean(sample(gen_vars, motion, content, sub))

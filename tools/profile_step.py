@@ -178,7 +178,10 @@ def main():
     trace_dir = args.keep or tempfile.mkdtemp(prefix="cpcsv_trace_")
     capture(trace_dir, args.steps, args.mode)
     print("trace dir:", trace_dir)
-    analyze(trace_dir, args.top)
+    if args.categories:
+        analyze_categories(trace_dir)
+    else:
+        analyze(trace_dir, args.top)
 
 
 if __name__ == "__main__":
