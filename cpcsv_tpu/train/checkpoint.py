@@ -87,7 +87,22 @@ class CheckpointManager:
         old = final + ".old"
         primary = jax.process_index() == 0
         if primary and os.path.exists(staging):
-            shutil.rmtree(staging)
+            # a LABELED staging dir is a complete crash remnant that
+            # restore()/last_epoch() may have treated as the authoritative
+            # best state (the run resumed from it) — deleting it before the
+            # replacement exists would make a second crash lose the epochs it
+            # holds. Promote it to `final` first; only unlabeled (mid-write)
+            # remnants are disposable.
+            stale_e = self._embedded_epoch(staging)
+            final_e = self._embedded_epoch(final) if os.path.exists(final) else None
+            if stale_e is not None and (final_e is None or stale_e > final_e):
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+                if os.path.exists(final):
+                    os.rename(final, old)
+                os.rename(staging, final)
+            else:
+                shutil.rmtree(staging)
         self._ckptr.save(staging, state, force=True)  # all processes join
         if primary:
             with open(os.path.join(staging, self._LABEL), "w") as f:
@@ -119,14 +134,21 @@ class CheckpointManager:
         unlabeled `.new` next to labeled siblings is a crash remnant from
         inside the labeling window and is ignored."""
         final = self._path("train_state_last")
+        # priority order breaks label TIES toward `final` (strict > below):
+        # equal labels happen when an epoch is retrained (--continue_ckpt E)
+        # or a finished run is re-run — the tie candidates then hold the same
+        # completed count and `final` is the current one; preferring a
+        # sibling would silently discard the newer save and mis-warn "stale"
         candidates = [final, final + ".old", final + ".new"]
-        labeled = [
-            (e, p)
-            for p in candidates
-            if os.path.exists(p) and (e := self._embedded_epoch(p)) is not None
-        ]
-        if labeled:
-            return max(labeled)[1]
+        best, best_epoch = None, None
+        for p in candidates:
+            if not os.path.exists(p):
+                continue
+            e = self._embedded_epoch(p)
+            if e is not None and (best_epoch is None or e > best_epoch):
+                best, best_epoch = p, e
+        if best is not None:
+            return best
         for p in candidates:
             if os.path.exists(p):
                 return p
@@ -142,15 +164,26 @@ class CheckpointManager:
         inside the restored checkpoint, never from a marker file that may
         describe a different sibling after a crash."""
         final = self._path("train_state_last")
-        path = self._best_state_path() or final
-        if path != final:
-            import warnings
+        state = None
+        for attempt in range(3):
+            path = self._best_state_path() or final
+            if path != final:
+                import warnings
 
-            warnings.warn(
-                f"train_state_last {'missing' if not os.path.exists(final) else 'stale'}"
-                f" (crash during save?); restoring from {os.path.basename(path)}"
-            )
-        state = self._ckptr.restore(path, item=template)
+                warnings.warn(
+                    f"train_state_last "
+                    f"{'missing' if not os.path.exists(final) else 'stale'}"
+                    f" (crash during save?); restoring from {os.path.basename(path)}"
+                )
+            try:
+                state = self._ckptr.restore(path, item=template)
+                break
+            except FileNotFoundError:
+                # a concurrent saver can rename the chosen sibling away
+                # mid-read (e.g. an eval CLI restoring while the trainer is
+                # inside its stage-and-swap rotation); re-resolve and retry
+                if attempt == 2:
+                    raise
         # Orbax returns leaves in their ON-DISK dtype, not the template's.
         # Cast back so a config flip between runs (e.g. ADAM_MU_DTYPE
         # fp32<->bf16) cannot smuggle a mismatched dtype into the jitted

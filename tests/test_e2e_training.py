@@ -231,6 +231,90 @@ def test_crash_windows_resume_exactly(tmp_path):
     np.testing.assert_array_equal(_first_param(state_b), _first_param(restored2))
 
 
+def test_equal_label_tie_prefers_final(tmp_path):
+    """Retraining an epoch (--continue_ckpt E, or re-running a finished run)
+    can leave `final` and `.old` with the SAME completed-epoch label after a
+    crash before the .old cleanup. The tie must go to `final` (the current
+    save) without a spurious 'crash during save' warning — preferring the
+    sibling would silently discard the retrained epoch's updates."""
+    import shutil
+    import warnings as warnings_mod
+
+    ckpt, model_dir, state_a, state_b, template = _two_saved_states(tmp_path)
+    final = os.path.join(model_dir, "train_state_last")
+
+    ckpt.save(state_a, 1)
+    shutil.copytree(final, str(tmp_path / "keep_a"))
+    ckpt.save(state_b, 1)  # same completed epoch: a retrain
+    os.rename(str(tmp_path / "keep_a"), final + ".old")
+    assert ckpt.last_epoch() == 1
+    with warnings_mod.catch_warnings(record=True) as caught:
+        warnings_mod.simplefilter("always")
+        restored = ckpt.restore(template)
+    assert not any("crash during save" in str(w.message) for w in caught)
+    np.testing.assert_array_equal(_first_param(state_b), _first_param(restored))
+
+
+def test_labeled_staging_remnant_promoted_not_deleted(tmp_path):
+    """A labeled `.new` left by a crash may be the state the run RESUMED from
+    (restore prefers the highest label). The next save must promote it to
+    `final` before writing its replacement — deleting it outright would make
+    a second crash during that save lose the epochs it holds."""
+    import shutil
+
+    from cpcsv_tpu.train.checkpoint import CheckpointManager
+
+    ckpt, model_dir, state_a, state_b, template = _two_saved_states(tmp_path)
+    final = os.path.join(model_dir, "train_state_last")
+
+    # fabricate: final = epoch-0 state, .new = labeled epoch-1 crash remnant
+    ckpt.save(state_a, 0)
+    shutil.copytree(final, str(tmp_path / "keep_a"))
+    ckpt.save(state_b, 1)
+    os.rename(final, final + ".new")
+    os.rename(str(tmp_path / "keep_a"), final)
+
+    # simulate a crash DURING the next save's Orbax write: promotion must
+    # already have happened, so the best state on disk is still epoch 1
+    real_save = ckpt._ckptr.save
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash mid-save")
+
+    ckpt._ckptr.save = boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ckpt._save_state_atomic(state_a, 2)
+    ckpt._ckptr.save = real_save
+
+    assert ckpt.last_epoch() == 1
+    fresh = CheckpointManager(model_dir)
+    restored = fresh.restore(template)
+    np.testing.assert_array_equal(_first_param(state_b), _first_param(restored))
+
+
+def test_restore_retries_when_sibling_renamed_away(tmp_path):
+    """A concurrent saver can rename the chosen sibling mid-read (eval CLI
+    restoring while the trainer rotates). restore() must re-resolve and
+    retry instead of dying on FileNotFoundError."""
+    ckpt, model_dir, state_a, state_b, template = _two_saved_states(tmp_path)
+    ckpt.save(state_a, 0)
+
+    real_restore = ckpt._ckptr.restore
+    calls = {"n": 0}
+
+    def flaky(path, item=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FileNotFoundError(path)
+        return real_restore(path, item=item)
+
+    ckpt._ckptr.restore = flaky
+    restored = ckpt.restore(template)
+    ckpt._ckptr.restore = real_restore
+    assert calls["n"] == 2
+    np.testing.assert_array_equal(_first_param(state_a), _first_param(restored))
+
+
 def test_crash_fallback_legacy_unlabeled_prefers_old(tmp_path):
     """Pre-label checkpoint dirs (round-3 early format: no COMPLETED_EPOCH
     file) keep the conservative fallback: final > .old > .new, since without
