@@ -208,6 +208,12 @@ class CheckpointManager:
                 )
         return state
 
+    def save_generator(self, variables: dict, epoch: int):
+        """Write a standalone netG_epoch_{E} snapshot (params + batch_stats
+        [+ spectral]) without touching the full train state — used by
+        tools/port_reference_run.py to import reference .pth checkpoints."""
+        self._ckptr.save(self._path(f"netG_epoch_{epoch}"), variables, force=True)
+
     def restore_generator(self, variables_template: dict, epoch: int) -> dict:
         """Load netG {params, batch_stats, spectral} for one epoch snapshot
         (reference inference.py:82-89 loads the full state_dict).

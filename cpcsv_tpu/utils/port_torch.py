@@ -115,3 +115,122 @@ def port_generator_file(path: str, use_segment: bool = True, cascade: bool = Fal
 
     sd = torch.load(path, map_location="cpu")
     return port_generator_state_dict(sd, use_segment=use_segment, cascade=cascade)
+
+
+# ---------------------------------------------------------------------------
+# Discriminators (reference netD_{im,st,se}_epoch_last.pth)
+# ---------------------------------------------------------------------------
+#
+# torch spectral_norm stores `weight_orig` (the unnormalized parameter) plus
+# `weight_u` / `weight_v` power-iteration buffers. Our SNConv/SNDense keep
+# the unnormalized kernel in "params" and only `u` in the "spectral"
+# collection (v is recomputed from u each forward, ops/spectral_norm.py) —
+# so port weight_orig -> kernel and weight_u -> u and drop weight_v. The two
+# flattenings of a conv kernel to a (out, rest) matrix differ only by a
+# column permutation, which leaves singular values and the LEFT singular
+# vector u unchanged, so torch's u is bit-valid for our power iteration.
+
+
+def _sn_conv(params, spectral, sd, t_prefix, f_path, ndim=2, bias=False):
+    w = _arr(sd[f"{t_prefix}.weight_orig"])
+    # torch conv (O,I,k...) -> ours (k..., I, O)
+    axes = tuple(range(2, 2 + ndim)) + (1, 0)
+    _put(params, f_path + ["kernel"], w.transpose(axes))
+    _put(spectral, f_path + ["u"], _arr(sd[f"{t_prefix}.weight_u"]))
+    if bias:
+        _put(params, f_path + ["bias"], _arr(sd[f"{t_prefix}.bias"]))
+
+
+def _sn_dense(params, spectral, sd, t_prefix, f_path, bias=True):
+    _put(params, f_path + ["kernel"], _arr(sd[f"{t_prefix}.weight_orig"]).T)
+    _put(spectral, f_path + ["u"], _arr(sd[f"{t_prefix}.weight_u"]))
+    if bias and f"{t_prefix}.bias" in sd:
+        _put(params, f_path + ["bias"], _arr(sd[f"{t_prefix}.bias"]))
+
+
+def _cond_logits_head(params, stats, spectral, sd, t_prefix, f_path):
+    """D_GET_LOGITS (reference model.py:68-97): outlogits Sequential =
+    [0] SN conv3x3 (no bias), [1] BN, [2] LeakyReLU, [3] SN conv k4 s4
+    (with bias), [4] Sigmoid. Ours: conv / bn / out (logits, no sigmoid)."""
+    _sn_conv(params, spectral, sd, f"{t_prefix}.outlogits.0", f_path + ["conv"])
+    _bn(params, stats, sd, f"{t_prefix}.outlogits.1", f_path + ["bn"])
+    _sn_conv(
+        params, spectral, sd, f"{t_prefix}.outlogits.3", f_path + ["out"], bias=True
+    )
+
+
+def port_video_encoder_state_dict(sd: dict, prefix: str = "") -> dict:
+    """torch VideoEncoder (reference model.py:151-210) -> variables for
+    models/video_encoder.VideoEncoder.
+
+    torch tree: story_encoder.0.{0,1,3,4} = R2Plus1dStem (SN conv / BN / SN
+    conv / BN), story_encoder.{1+3i}/{2+3i} = body SN conv / BN for i in
+    0..7, detector.{0,1,3} = SN linear / BN / SN linear. `prefix` selects a
+    submodule (e.g. "seq_consisten_model.") inside a larger state_dict."""
+    params: dict = {}
+    stats: dict = {}
+    spectral: dict = {}
+    p = prefix
+    _sn_conv(params, spectral, sd, f"{p}story_encoder.0.0", ["stem0"], ndim=3)
+    _bn(params, stats, sd, f"{p}story_encoder.0.1", ["stem0_bn"])
+    _sn_conv(params, spectral, sd, f"{p}story_encoder.0.3", ["stem1"], ndim=3)
+    _bn(params, stats, sd, f"{p}story_encoder.0.4", ["stem1_bn"])
+    for i in range(8):
+        _sn_conv(
+            params, spectral, sd, f"{p}story_encoder.{1 + 3 * i}", [f"body{i}"], ndim=3
+        )
+        _bn(params, stats, sd, f"{p}story_encoder.{2 + 3 * i}", [f"body{i}_bn"])
+    _sn_dense(params, spectral, sd, f"{p}detector.0", ["det0"])
+    _bn(params, stats, sd, f"{p}detector.1", ["det_bn"])
+    _sn_dense(params, spectral, sd, f"{p}detector.3", ["det1"])
+    return {"params": params, "batch_stats": stats, "spectral": spectral}
+
+
+def port_discriminator_state_dict(sd: dict, kind: str) -> dict:
+    """torch STAGE1_D_{IMG,SEG,STY_V2} state_dict (reference
+    model.py:487-618) -> {'params','batch_stats','spectral'} for
+    models/discriminators.{Image,Seg,Story}Discriminator.
+
+    kind: "image" | "seg" | "story". The image/seg encoder is a plain first
+    conv + three SN convs with BN (torch Sequential indices 0 / 2,5,8 /
+    3,6,9); the story encoder spectral-norms all four convs. The optional
+    order-consistency VideoEncoder (cfg.USE_SEQ_CONSISTENCY) is ported when
+    its keys are present."""
+    if kind not in ("image", "seg", "story"):
+        raise ValueError(f"kind must be image|seg|story, got {kind!r}")
+    params: dict = {}
+    stats: dict = {}
+    spectral: dict = {}
+
+    enc = ["encode_img"]
+    if kind == "story":
+        _sn_conv(params, spectral, sd, "encode_img.0", enc + ["c0"])
+    else:
+        _conv(params, sd, "encode_img.0.weight", enc + ["c0", "conv"])
+    for i, t_idx in enumerate((2, 5, 8)):
+        _sn_conv(params, spectral, sd, f"encode_img.{t_idx}", enc + [f"c{i + 1}"])
+        _bn(params, stats, sd, f"encode_img.{t_idx + 1}", enc + [f"bn{i + 1}"])
+
+    _cond_logits_head(params, stats, spectral, sd, "get_cond_logits", ["get_cond_logits"])
+
+    if kind != "story" and "cate_classify.weight" in sd:
+        _conv(params, sd, "cate_classify.weight", ["cate_classify", "conv"])
+    if kind == "story" and "seq_consisten_model.story_encoder.0.0.weight_orig" in sd:
+        sub = port_video_encoder_state_dict(sd, prefix="seq_consisten_model.")
+        for coll, tree in (("params", params), ("batch_stats", stats), ("spectral", spectral)):
+            _put(tree, ["seq_consisten_model"], sub[coll])
+    return {"params": params, "batch_stats": stats, "spectral": spectral}
+
+
+_D_KIND_FILES = {
+    "image": "netD_im_epoch_last.pth",
+    "story": "netD_st_epoch_last.pth",
+    "seg": "netD_se_epoch_last.pth",
+}
+
+
+def port_discriminator_file(path: str, kind: str) -> dict:
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    return port_discriminator_state_dict(sd, kind)

@@ -43,52 +43,71 @@ def down_block(i, o):
 
 class TorchMiniG(nn.Module):
     """Reference StoryGAN wiring at mini scale (cascade variant includes the
-    mask re-encoder)."""
+    mask re-encoder). Dims are overridable so tests can build replicas that
+    match a config-built StoryGenerator (the factory hard-codes the
+    reference's filter_num=3 / filter_size=21 / image_size=124)."""
 
-    def __init__(self, cascade=False):
+    def __init__(
+        self,
+        cascade=False,
+        ngf=NGF,
+        ngf_seg=NGF_SEG,
+        fn=FN,
+        fs=FS,
+        imsize_f=IMSIZE_F,
+        text=TEXT,
+        labels=LABELS,
+        cond=COND,
+        noise=NOISE,
+        t=T,
+    ):
         super().__init__()
         self.cascade = cascade
-        self.ca_net_fc = nn.Linear(TEXT * T, COND * 2)
+        self.ngf, self.ngf_seg = ngf, ngf_seg
+        self.fn, self.fs, self.imsize_f = fn, fs, imsize_f
+        motion = text + labels
+        ninput = motion + cond + imsize_f
+        self.ca_net_fc = nn.Linear(text * t, cond * 2)
         self.filter_net = nn.Sequential(
-            nn.Linear(COND, FS * FN), nn.BatchNorm1d(FS * FN)
+            nn.Linear(cond, fs * fn), nn.BatchNorm1d(fs * fn)
         )
         self.image_net = nn.Sequential(
-            nn.Linear(MOTION, IMSIZE_F * FN), nn.BatchNorm1d(IMSIZE_F * FN), nn.Tanh()
+            nn.Linear(motion, imsize_f * fn), nn.BatchNorm1d(imsize_f * fn), nn.Tanh()
         )
         self.fc = nn.Sequential(
-            nn.Linear(NINPUT, NGF * 16, bias=False),
-            nn.BatchNorm1d(NGF * 16),
+            nn.Linear(ninput, ngf * 16, bias=False),
+            nn.BatchNorm1d(ngf * 16),
             nn.ReLU(True),
         )
-        self.upsample1 = up_block(NGF, NGF // 2)
-        self.upsample2 = up_block(NGF // 2, NGF // 4)
-        self.upsample3 = up_block(NGF // 4, NGF // 8)
-        self.upsample4 = up_block(NGF // 8, NGF // 16)
-        self.img = nn.Sequential(conv3x3(NGF // 16, 3), nn.Tanh())
-        self.seg_c = conv3x3(NGF_SEG, NGF)
-        self.seg_c1 = conv3x3(NGF_SEG // 2, NGF // 2)
+        self.upsample1 = up_block(ngf, ngf // 2)
+        self.upsample2 = up_block(ngf // 2, ngf // 4)
+        self.upsample3 = up_block(ngf // 4, ngf // 8)
+        self.upsample4 = up_block(ngf // 8, ngf // 16)
+        self.img = nn.Sequential(conv3x3(ngf // 16, 3), nn.Tanh())
+        self.seg_c = conv3x3(ngf_seg, ngf)
+        self.seg_c1 = conv3x3(ngf_seg // 2, ngf // 2)
         self.fc_seg = nn.Sequential(
-            nn.Linear(NINPUT, NGF_SEG * 16, bias=False),
-            nn.BatchNorm1d(NGF_SEG * 16),
+            nn.Linear(ninput, ngf_seg * 16, bias=False),
+            nn.BatchNorm1d(ngf_seg * 16),
             nn.ReLU(True),
         )
-        self.upsample1_seg = up_block(NGF_SEG, NGF_SEG // 2)
-        self.upsample2_seg = up_block(NGF_SEG // 2, NGF_SEG // 4)
-        self.upsample3_seg = up_block(NGF_SEG // 4, NGF_SEG // 8)
-        self.upsample4_seg = up_block(NGF_SEG // 8, NGF_SEG // 16)
-        self.img_seg = nn.Sequential(conv3x3(NGF_SEG // 16, 1), nn.Tanh())
-        self.m_net = nn.Sequential(nn.Linear(MOTION, MOTION), nn.BatchNorm1d(MOTION))
-        self.c_net = nn.Sequential(nn.Linear(COND, COND), nn.BatchNorm1d(COND))
-        self.recurrent = nn.GRUCell(NOISE + MOTION, MOTION)
-        self.mocornn = nn.GRUCell(MOTION, COND)
+        self.upsample1_seg = up_block(ngf_seg, ngf_seg // 2)
+        self.upsample2_seg = up_block(ngf_seg // 2, ngf_seg // 4)
+        self.upsample3_seg = up_block(ngf_seg // 4, ngf_seg // 8)
+        self.upsample4_seg = up_block(ngf_seg // 8, ngf_seg // 16)
+        self.img_seg = nn.Sequential(conv3x3(ngf_seg // 16, 1), nn.Tanh())
+        self.m_net = nn.Sequential(nn.Linear(motion, motion), nn.BatchNorm1d(motion))
+        self.c_net = nn.Sequential(nn.Linear(cond, cond), nn.BatchNorm1d(cond))
+        self.recurrent = nn.GRUCell(noise + motion, motion)
+        self.mocornn = nn.GRUCell(motion, cond)
         if cascade:
             self.presample = nn.Sequential(
-                conv3x3(1, NGF_SEG // 16), nn.BatchNorm2d(NGF_SEG // 16), nn.ReLU()
+                conv3x3(1, ngf_seg // 16), nn.BatchNorm2d(ngf_seg // 16), nn.ReLU()
             )
-            self.downsample1_seg = down_block(NGF_SEG // 16, NGF_SEG // 8)
-            self.downsample2_seg = down_block(NGF_SEG // 8, NGF_SEG // 4)
-            self.downsample3_seg = down_block(NGF_SEG // 4, NGF_SEG // 2)
-            self.downsample4_seg = down_block(NGF_SEG // 2, NGF_SEG)
+            self.downsample1_seg = down_block(ngf_seg // 16, ngf_seg // 8)
+            self.downsample2_seg = down_block(ngf_seg // 8, ngf_seg // 4)
+            self.downsample3_seg = down_block(ngf_seg // 4, ngf_seg // 2)
+            self.downsample4_seg = down_block(ngf_seg // 2, ngf_seg)
 
     def state_dict_ref_names(self):
         sd = self.state_dict()
@@ -96,6 +115,7 @@ class TorchMiniG(nn.Module):
 
     def decode(self, zmc_all):
         """reference sample_videos trunk, v1 gating (model.py:379-407)."""
+        NGF, NGF_SEG = self.ngf, self.ngf_seg
         zmc_img = self.fc(zmc_all).view(-1, NGF, 4, 4)
         zmc_seg = self.fc_seg(zmc_all).view(-1, NGF_SEG, 4, 4)
         if self.cascade:
@@ -132,12 +152,12 @@ class TorchMiniG(nn.Module):
         """reference model.py:373-377."""
         import torch.nn.functional as F
 
-        m_image = self.image_net(m_flat).view(-1, FN, IMSIZE_F)
-        c_filter = self.filter_net(crnn_code).view(-1, 1, FN, FS)
+        m_image = self.image_net(m_flat).view(-1, self.fn, self.imsize_f)
+        c_filter = self.filter_net(crnn_code).view(-1, 1, self.fn, self.fs)
         outs = []
         img = m_image.unsqueeze(0)
         for i in range(img.shape[1]):
-            outs.append(F.conv1d(img[:, i], c_filter[i], padding=FS // 2))
+            outs.append(F.conv1d(img[:, i], c_filter[i], padding=self.fs // 2))
         return torch.cat(outs, 0).squeeze(1)
 
 
