@@ -138,6 +138,25 @@ def test_imported_generator_decodes_like_torch(imported_run):
     )
 
 
+def test_imported_run_drives_eval_walk(imported_run):
+    """The reference user's first post-import action: `--eval_fid` walks the
+    ported epochs and writes fid_score2.csv (reference inference.py:201-230)."""
+    from cpcsv_tpu.data.loader import DataLoader
+    from cpcsv_tpu.data.synthetic import SyntheticStoryDataset
+    from cpcsv_tpu.evaluation.drivers import Infer
+
+    cfg = config_from_file(imported_run["cfg_file"])
+    test = SyntheticStoryDataset(
+        8, cfg.VIDEO_LEN, cfg.IMSIZE, cfg.TEXT.DIMENSION, cfg.LABEL_NUM, seed=5
+    )
+    testloader = DataLoader(test, 4, drop_last=True)
+    infer = Infer(cfg, imported_run["out_dir"])
+    results = infer.eval_fid2(testloader, epochs=[3, 1], batch_size=4)
+    assert [r["epoch"] for r in results] == [3, 1]
+    assert all(np.isfinite(r["fid"]) and np.isfinite(r["vfid"]) for r in results)
+    assert os.path.exists(os.path.join(infer.eval_dir, "fid_score2.csv"))
+
+
 def test_import_rejects_config_mismatch(imported_run, tmp_path):
     """Wrong CASCADE_MODEL against a non-cascade checkpoint must fail loudly,
     not produce a silently-wrong import."""
