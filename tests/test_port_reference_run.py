@@ -157,6 +157,28 @@ def test_imported_run_drives_eval_walk(imported_run):
     assert os.path.exists(os.path.join(infer.eval_dir, "fid_score2.csv"))
 
 
+def test_import_accepts_reference_zip(imported_run, tmp_path):
+    """The reference distributes its pretrained run as final_model.zip
+    (reference README.md:73-87) — the importer must take it directly."""
+    import shutil
+
+    src_run = os.path.join(os.path.dirname(imported_run["out_dir"]), "ref_run")
+    zip_path = shutil.make_archive(
+        str(tmp_path / "final_model"), "zip",
+        root_dir=os.path.dirname(src_run), base_dir="ref_run",
+    )
+    out = port_main(
+        [
+            "--cfg", imported_run["cfg_file"],
+            "--src", zip_path,
+            "--out", str(tmp_path / "from_zip"),
+        ]
+    )
+    mgr = CheckpointManager(os.path.join(out, "Model"))
+    assert mgr.available_generator_epochs() == [1, 3]
+    assert mgr.last_epoch() == 3
+
+
 def test_import_rejects_config_mismatch(imported_run, tmp_path):
     """Wrong CASCADE_MODEL against a non-cascade checkpoint must fail loudly,
     not produce a silently-wrong import."""

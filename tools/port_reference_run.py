@@ -128,6 +128,24 @@ def main(argv=None):
 
     cfg = config_from_file(args.cfg)
     src = os.path.abspath(args.src)
+    if os.path.isfile(src) and src.endswith(".zip"):
+        # the reference ships its pretrained run as final_model.zip, dropped
+        # into ./output (reference README.md:73-87) — accept it directly
+        import tempfile
+        import zipfile
+
+        extract_dir = tempfile.mkdtemp(prefix="cpcsv_ref_zip_")
+        with zipfile.ZipFile(src) as zf:
+            zf.extractall(extract_dir)
+        by_dir: dict[str, int] = {}
+        for root, _, files in os.walk(extract_dir):
+            n = sum(1 for f in files if re.match(r"netG_epoch_\d+\.pth$", f))
+            if n:
+                by_dir[root] = n
+        if not by_dir:
+            p.error(f"no netG_epoch_*.pth found inside {args.src}")
+        src = max(by_dir, key=by_dir.get)
+        print(f"extracted {args.src} -> importing from {src}")
     if os.path.isfile(src):
         netg_files = [src]
         model_dir = os.path.dirname(src)
