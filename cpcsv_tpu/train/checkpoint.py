@@ -47,9 +47,7 @@ class CheckpointManager:
         raised MAX_EPOCH would resume at old_max+1 and silently skip epoch
         old_max."""
         completed_val = epoch if completed is None else completed
-        self._ckptr.save(
-            self._path(f"netG_epoch_{epoch}"), state.gen.variables(), force=True
-        )
+        self.save_generator(state.gen.variables(), epoch)
         self._save_state_atomic(state, completed_val)
         if jax.process_index() == 0:
             # advisory/legacy marker (humans + pre-label checkpoints read it);
@@ -120,12 +118,13 @@ class CheckpointManager:
 
     def _embedded_epoch(self, path: str) -> Optional[int]:
         label = os.path.join(path, self._LABEL)
-        if os.path.exists(label):
-            try:
-                return int(open(label).read().strip())
-            except ValueError:
-                return None
-        return None
+        try:
+            # no exists() pre-check: a concurrent saver can rmtree the
+            # sibling between check and open (eval CLI racing the trainer's
+            # stage-and-swap rotation) — treat any read failure as unlabeled
+            return int(open(label).read().strip())
+        except (OSError, ValueError):
+            return None
 
     def _best_state_path(self) -> Optional[str]:
         """The restorable full-state checkpoint: the sibling with the highest
@@ -166,22 +165,24 @@ class CheckpointManager:
         final = self._path("train_state_last")
         state = None
         for attempt in range(3):
-            path = self._best_state_path() or final
-            if path != final:
-                import warnings
-
-                warnings.warn(
-                    f"train_state_last "
-                    f"{'missing' if not os.path.exists(final) else 'stale'}"
-                    f" (crash during save?); restoring from {os.path.basename(path)}"
-                )
+            # a concurrent saver can rename the chosen sibling away mid-read
+            # (e.g. an eval CLI restoring while the trainer is inside its
+            # stage-and-swap rotation); the WHOLE resolve+read is retried,
+            # and not only on FileNotFoundError — a mid-read disappearance
+            # surfaces from Orbax/TensorStore as ValueError too
             try:
+                path = self._best_state_path() or final
+                if path != final:
+                    import warnings
+
+                    warnings.warn(
+                        f"train_state_last "
+                        f"{'missing' if not os.path.exists(final) else 'stale'}"
+                        f" (crash during save?); restoring from {os.path.basename(path)}"
+                    )
                 state = self._ckptr.restore(path, item=template)
                 break
-            except FileNotFoundError:
-                # a concurrent saver can rename the chosen sibling away
-                # mid-read (e.g. an eval CLI restoring while the trainer is
-                # inside its stage-and-swap rotation); re-resolve and retry
+            except (FileNotFoundError, ValueError):
                 if attempt == 2:
                     raise
         # Orbax returns leaves in their ON-DISK dtype, not the template's.
@@ -210,9 +211,29 @@ class CheckpointManager:
 
     def save_generator(self, variables: dict, epoch: int):
         """Write a standalone netG_epoch_{E} snapshot (params + batch_stats
-        [+ spectral]) without touching the full train state — used by
-        tools/port_reference_run.py to import reference .pth checkpoints."""
-        self._ckptr.save(self._path(f"netG_epoch_{epoch}"), variables, force=True)
+        [+ spectral]). Stage-and-swap like the full state: Orbax force=True
+        deletes the existing snapshot BEFORE writing, so overwriting an
+        existing epoch (finished-run re-run, --continue_ckpt E retrain, the
+        importer) would otherwise have a crash window that loses the only
+        copy of that epoch's eval snapshot."""
+        final = self._path(f"netG_epoch_{epoch}")
+        staging, old = final + ".new", final + ".old"
+        primary = jax.process_index() == 0
+        if primary and os.path.exists(staging):
+            shutil.rmtree(staging)
+        self._ckptr.save(staging, variables, force=True)
+        if primary:
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            if os.path.exists(final):
+                os.rename(final, old)
+            os.rename(staging, final)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("cpcsv_gsnap_swap")
 
     def restore_generator(self, variables_template: dict, epoch: int) -> dict:
         """Load netG {params, batch_stats, spectral} for one epoch snapshot
@@ -222,6 +243,17 @@ class CheckpointManager:
         must never silently proceed with init-time statistics."""
         path = self._path(f"netG_epoch_{epoch}")
         if not os.path.exists(path):
+            # a kill between save_generator's two renames leaves the data in
+            # `.old` with no primary — recoverable, same-epoch content
+            old = path + ".old"
+            if os.path.exists(old):
+                import warnings
+
+                warnings.warn(
+                    f"netG_epoch_{epoch} missing but its .old sibling exists "
+                    "(crash during snapshot swap?); restoring from it"
+                )
+                return self._ckptr.restore(old, item=variables_template)
             raise FileNotFoundError(
                 f"generator snapshot not found: {path} "
                 f"(available epochs: {self.available_generator_epochs()})"
@@ -249,11 +281,16 @@ class CheckpointManager:
         return None
 
     def available_generator_epochs(self) -> list[int]:
-        out = []
+        out = set()
         for name in os.listdir(self.model_dir):
             if name.startswith("netG_epoch_"):
+                tail = name.removeprefix("netG_epoch_")
+                if tail.endswith(".new"):
+                    continue  # mid-write staging, possibly incomplete
+                if tail.endswith(".old"):
+                    tail = tail[:-4]  # crash remnant; restore_generator recovers it
                 try:
-                    out.append(int(name.removeprefix("netG_epoch_")))
+                    out.add(int(tail))
                 except ValueError:
                     pass
         return sorted(out)

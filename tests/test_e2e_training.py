@@ -172,6 +172,43 @@ def test_checkpoint_survives_crash_during_save(tmp_path):
     assert not os.path.exists(os.path.join(model_dir, "train_state_last.old"))
 
 
+def test_generator_snapshot_overwrite_is_crash_safe(tmp_path):
+    """netG_epoch_{E} snapshots get the same stage-and-swap treatment as the
+    full state: overwriting an existing epoch (finished-run re-run,
+    --continue_ckpt E retrain, the run importer) must never have a window
+    where the only copy of that epoch's eval snapshot is deleted."""
+    ckpt, model_dir, state_a, state_b, template = _two_saved_states(tmp_path)
+    ckpt.save(state_a, 2)
+    ckpt.save(state_b, 2)  # overwrite the same epoch
+    assert not os.path.exists(os.path.join(model_dir, "netG_epoch_2.new"))
+    assert not os.path.exists(os.path.join(model_dir, "netG_epoch_2.old"))
+    got = ckpt.restore_generator(template.gen.variables(), 2)
+    np.testing.assert_array_equal(
+        _first_param(state_b), np.asarray(jax.tree.leaves(got["params"])[0])
+    )
+
+    # crash between the two renames: data survives in .old, walks still see
+    # the epoch, and restore recovers it with a warning
+    os.rename(
+        os.path.join(model_dir, "netG_epoch_2"),
+        os.path.join(model_dir, "netG_epoch_2.old"),
+    )
+    assert ckpt.available_generator_epochs() == [2]
+    with pytest.warns(UserWarning, match="snapshot swap"):
+        got2 = ckpt.restore_generator(template.gen.variables(), 2)
+    np.testing.assert_array_equal(
+        _first_param(state_b), np.asarray(jax.tree.leaves(got2["params"])[0])
+    )
+
+    # the next save on top of the remnant works and cleans up
+    ckpt.save(state_a, 2)
+    assert not os.path.exists(os.path.join(model_dir, "netG_epoch_2.old"))
+    got3 = ckpt.restore_generator(template.gen.variables(), 2)
+    np.testing.assert_array_equal(
+        _first_param(state_a), np.asarray(jax.tree.leaves(got3["params"])[0])
+    )
+
+
 def _two_saved_states(tmp_path):
     from cpcsv_tpu.models import build_models
     from cpcsv_tpu.train.checkpoint import CheckpointManager

@@ -179,6 +179,33 @@ def test_import_accepts_reference_zip(imported_run, tmp_path):
     assert mgr.last_epoch() == 3
 
 
+def test_import_without_discriminators_writes_no_resume_marker(imported_run, tmp_path):
+    """A netG-only import (published runs often ship no D checkpoints) must
+    NOT arm auto-resume: without a full train state, a last_epoch marker
+    would make `--continue_ckpt auto` crash instead of starting fresh."""
+    import shutil
+
+    src_run = os.path.join(os.path.dirname(imported_run["out_dir"]), "ref_run", "Model")
+    g_only = tmp_path / "g_only"
+    g_only.mkdir()
+    for f in os.listdir(src_run):
+        if f.startswith("netG_epoch_"):
+            shutil.copy(os.path.join(src_run, f), g_only / f)
+    out = port_main(
+        [
+            "--cfg", imported_run["cfg_file"],
+            "--src", str(g_only),
+            "--out", str(tmp_path / "g_only_out"),
+        ]
+    )
+    model_dir = os.path.join(out, "Model")
+    assert not os.path.exists(os.path.join(model_dir, "last_epoch.txt"))
+    assert not os.path.exists(os.path.join(model_dir, "train_state_last"))
+    mgr = CheckpointManager(model_dir)
+    assert mgr.last_epoch() is None
+    assert mgr.available_generator_epochs() == [1, 3]
+
+
 def test_import_rejects_config_mismatch(imported_run, tmp_path):
     """Wrong CASCADE_MODEL against a non-cascade checkpoint must fail loudly,
     not produce a silently-wrong import."""

@@ -92,7 +92,10 @@ def merge_ported(template: dict, ported: dict, label: str) -> dict:
         node = merged
         for k in path[:-1]:
             node = node.setdefault(k, {})
-        node[path[-1]] = p_leaf.astype(np.asarray(t_leaf).dtype)
+        # read the dtype from the leaf, never np.asarray(t_leaf): the
+        # template lives on-device and materializing it host-side would pull
+        # a full model copy over the TPU tunnel per merged checkpoint
+        node[path[-1]] = p_leaf.astype(getattr(t_leaf, "dtype", np.float32))
     return merged
 
 
@@ -242,16 +245,14 @@ def main(argv=None):
         )
     else:
         missing = [d_files[k][1] for k in need if not have_ds[k]]
+        # deliberately NO last_epoch.txt here: without a full train state the
+        # marker would arm `--continue_ckpt auto` to fail on a missing
+        # train_state_last instead of starting fresh
         print(
             "no full train state written (missing discriminator checkpoints: "
             f"{[os.path.basename(m) for m in missing]}); eval walks still work, "
             "and cfg.NET_G can warm-start training from a netG snapshot"
         )
-        if jax.process_index() == 0:
-            marker = os.path.join(mgr.model_dir, "last_epoch.txt")
-            with open(marker + ".tmp", "w") as f:
-                f.write(str(completed))
-            os.replace(marker + ".tmp", marker)
 
     print(f"imported {len(epochs)} generator snapshot(s) into {out_dir}")
     return out_dir
