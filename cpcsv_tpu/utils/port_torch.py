@@ -1,5 +1,7 @@
-"""Port reference PyTorch checkpoints (netG_epoch_*.pth state_dicts) into
-this framework's generator variables.
+"""Port reference PyTorch checkpoints into this framework's variables:
+generators (netG_epoch_*.pth) and discriminators (netD_*_epoch_last.pth,
+including torch spectral_norm state). tools/port_reference_run.py wraps
+these into a one-command whole-run importer.
 
 Layer layout was designed for 1:1 portability (see models/generator.py):
   * Dense kernels are torch weights transposed
@@ -220,13 +222,6 @@ def port_discriminator_state_dict(sd: dict, kind: str) -> dict:
         for coll, tree in (("params", params), ("batch_stats", stats), ("spectral", spectral)):
             _put(tree, ["seq_consisten_model"], sub[coll])
     return {"params": params, "batch_stats": stats, "spectral": spectral}
-
-
-_D_KIND_FILES = {
-    "image": "netD_im_epoch_last.pth",
-    "story": "netD_st_epoch_last.pth",
-    "seg": "netD_se_epoch_last.pth",
-}
 
 
 def port_discriminator_file(path: str, kind: str) -> dict:

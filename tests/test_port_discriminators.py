@@ -259,6 +259,50 @@ def test_ported_story_discriminator_matches_torch():
     )
 
 
+def test_ported_story_discriminator_with_seq_consistency():
+    """The optional order-consistency branch (cfg.USE_SEQ_CONSISTENCY):
+    seq_consisten_model.* keys must port through the story-D porter's prefix
+    path and produce matching consistency logits."""
+    torch.manual_seed(8)
+    tm = TorchMiniD(in_ch=3, sn_first=True, use_categories=False, seq=True)
+    converge_sn(tm, iters=50)
+    tm.eval()
+
+    variables = port_discriminator_state_dict(tm.state_dict(), "story")
+    mod = StoryDiscriminator(
+        ndf=NDF, nef=COND, text_dim=TEXT, label_num=LABELS, use_seq_consistency=True
+    )
+
+    B = 2
+    rng = np.random.default_rng(17)
+    story = rng.standard_normal((B, T, 64, 64, 3)).astype(np.float32)
+    cond = rng.standard_normal((B, NEF)).astype(np.float32)
+
+    template = jax.eval_shape(
+        lambda: mod.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((B, T, 64, 64, 3)),
+            jnp.zeros((B, NEF)),
+            train=False,
+            method="full_forward",
+        )
+    )
+    _check_tree_match(variables, template)
+
+    with torch.no_grad():
+        t_cons = tm.seq_consisten_model(torch.tensor(story.transpose(0, 4, 1, 2, 3)))
+
+    with jax.default_matmul_precision("highest"):
+        _, _, cons = mod.apply(
+            variables,
+            jnp.asarray(story),
+            jnp.asarray(cond),
+            train=False,
+            method="full_forward",
+        )
+    np.testing.assert_allclose(np.asarray(cons), t_cons.numpy(), rtol=2e-3, atol=2e-3)
+
+
 def test_ported_video_encoder_matches_torch():
     torch.manual_seed(6)
     tm = TorchMiniVideoEncoder()
