@@ -175,3 +175,24 @@ def test_export_reference_run_inverts_import(tmp_path):
         _assert_roundtrip(
             m.state_dict(), {k: v.numpy() for k, v in back.items()}, v_atol=2e-4
         )
+
+    # edge: a pruned run dir (netG snapshots gone, train state kept) must
+    # still export the state's generator under the reference naming, and the
+    # tool must accept the Model/ subdir directly
+    import shutil
+
+    pruned = tmp_path / "pruned" / "Model"
+    shutil.copytree(os.path.join(run_dir, "Model"), pruned)
+    for name in os.listdir(pruned):
+        if name.startswith("netG_epoch_"):
+            shutil.rmtree(pruned / name)
+    out2 = export_main(
+        ["--cfg", str(cfg_file), "--run", str(pruned),
+         "--out", str(tmp_path / "exported2")]
+    )
+    # importer labeled completed=2 (highest ported epoch)
+    back_g2 = torch.load(os.path.join(out2, "netG_epoch_2.pth"), map_location="cpu")
+    _assert_roundtrip(
+        tg.state_dict_ref_names(), {k: v.numpy() for k, v in back_g2.items()}
+    )
+    assert os.path.exists(os.path.join(out2, "netD_st_epoch_last.pth"))
