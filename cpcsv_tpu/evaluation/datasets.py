@@ -9,6 +9,7 @@ All return NHWC float32 in [-1,1] (matching the training transforms).
 from __future__ import annotations
 
 import os
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -78,6 +79,18 @@ class IgnoreLabelDataset:
         return np.asarray(self.orig[index][self.key])
 
 
+@partial(jax.jit, static_argnums=0)
+def _sample_videos_jit(net_g, variables, motion, content, key):
+    # module-level jit, net_g static: flax Modules hash by their config
+    # fields, so the trainer's per-epoch StoryGANDataset instances (same
+    # net_g, fresh variables) reuse ONE compiled program instead of
+    # re-tracing the whole generator every epoch
+    return net_g.apply(
+        variables, motion, content, False, False,
+        method="sample_videos", rngs={"noise": key},
+    ).image
+
+
 class StoryGANDataset:
     """Samples the generator per story (reference fid/utils.py:52-87) —
     but batched: generation happens in jitted chunks, not one story per
@@ -95,15 +108,7 @@ class StoryGANDataset:
         self.rng = rng
         self._cache: dict[int, np.ndarray] = {}
         self._real_cache: dict[int, np.ndarray] = {}
-
-        @jax.jit
-        def _gen(variables, motion, content, key):
-            return net_g.apply(
-                variables, motion, content, False, False,
-                method="sample_videos", rngs={"noise": key},
-            ).image
-
-        self._gen_jit = _gen
+        self._gen_jit = partial(_sample_videos_jit, net_g)
 
     def __len__(self):
         return len(self.ds)

@@ -125,7 +125,17 @@ class Infer:
             self._gen_vars = {**state.gen.variables(), "params": params}
         return self._gen_vars
 
+    def _require_vars(self):
+        if self._gen_vars is None:
+            raise RuntimeError(
+                "no generator checkpoint loaded — construct "
+                "Infer(..., load_ckpt=E) or call load_epoch(E) first "
+                f"(available epochs: {self.ckpt.available_generator_epochs()})"
+            )
+        return self._gen_vars
+
     def sample_videos_np(self, batch, seg: bool = False):
+        self._require_vars()
         cfg = self.cfg
         motion, content = _batch_motion_content(cfg, batch)
         self.rng, key = jax.random.split(self.rng)
@@ -153,8 +163,19 @@ class Infer:
         return orig_dir, gen_dir
 
     def inference_samples(self, storyloader, save_path: str):
-        """Numbered png dump + ./Evaluation/ref (reference miscc/utils.py:402)."""
+        """Numbered png dump + ./Evaluation/ref (reference miscc/utils.py:402).
+
+        Deviation from the reference (which appends into whatever is on
+        disk): both dump dirs are cleared of numbered pngs first. Stale
+        frames from a previous, larger run would otherwise be globbed into
+        clips by VideoGenerateDataset and silently mix two models' outputs
+        into one FVD score."""
         ref_dir = os.path.join(self.output_dir, "Evaluation", "ref")
+        for d in (save_path, ref_dir):
+            if os.path.isdir(d):
+                for f in os.listdir(d):
+                    if f.endswith(".png"):
+                        os.remove(os.path.join(d, f))
         cnt_gen = cnt_ref = 0
         for batch in storyloader:
             fake, _ = self.sample_videos_np(batch)
@@ -170,6 +191,11 @@ class Infer:
         (reference inference.py:201-230). Appends to fid_score2.csv."""
         cfg = self.cfg
         epochs = epochs or sorted(self.ckpt.available_generator_epochs(), reverse=True)
+        if not epochs:
+            raise FileNotFoundError(
+                f"eval_fid2: no generator checkpoints under {self.model_dir} — "
+                "wrong output dir, or training never saved a snapshot"
+            )
         csv_path = os.path.join(self.eval_dir, "fid_score2.csv")
         # build extractors ONCE for the whole epoch walk (the factories warn
         # loudly when they fall back to random init; status is surfaced in
@@ -216,14 +242,27 @@ class Infer:
     def eval_fvd(self, storyloader, epochs: Optional[list[int]] = None,
                  num_of_video: int = 272):
         """Per-checkpoint FVD (reference inference.py:128-141)."""
+        from cpcsv_tpu.evaluation.fvd import default_embedder
+
         epochs = epochs or sorted(self.ckpt.available_generator_epochs(), reverse=True)
+        if not epochs:
+            raise FileNotFoundError(
+                f"eval_fvd: no generator checkpoints under {self.model_dir} — "
+                "wrong output dir, or training never saved a snapshot"
+            )
         csv_path = os.path.join(self.eval_dir, "fvd_score.csv")
+        # ONE embedder for the whole walk: building per epoch would re-jit
+        # the I3D/R(2+1)D network and re-warn every iteration (eval_fid2's
+        # extractors above are hoisted for the same reason)
+        embedder = default_embedder()
         results = []
         for epoch in epochs:
             self.load_epoch(epoch)
             gen_dir = os.path.join(self.eval_dir, f"fvd_epoch_{epoch}")
             gen_dir, ref_dir = self.inference_samples(storyloader, gen_dir)
-            fvd = calculate_fvd(gen_dir, ref_dir, num_of_video=num_of_video)
+            fvd = calculate_fvd(
+                gen_dir, ref_dir, num_of_video=num_of_video, embedder=embedder
+            )
             with open(csv_path, "a", newline="") as f:
                 csv.writer(f).writerow([epoch, fvd])
             results.append({"epoch": epoch, "fvd": fvd})
@@ -264,7 +303,7 @@ class Infer:
 
     def eval_ssim(self, testdataset, n: Optional[int] = None):
         ds = StoryGANSSIMDataset(
-            self.net_g, self._gen_vars, testdataset, self.rng,
+            self.net_g, self._require_vars(), testdataset, self.rng,
             text_dim=self.cfg.TEXT.DIMENSION,
         )
         n = n or len(ds)

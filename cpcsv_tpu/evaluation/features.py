@@ -59,7 +59,11 @@ def activation_statistics(
     if cache and os.path.exists(cache):
         data = np.load(cache, allow_pickle=False)
         stored_fp = str(data["fingerprint"]) if "fingerprint" in data else None
-        if fp is None or stored_fp == fp:
+        # exact tag match only: an extractor WITHOUT a fingerprint (custom
+        # embedder) reuses only caches written by the same unkeyed path —
+        # never a round-1 fp-less npz or a differently-keyed file that
+        # happens to sit at the same name
+        if stored_fp == (fp or "unkeyed"):
             return data["m1"], data["s1"]
     acts = extract_activations(dataset, extractor, batch_size, normalize)
     mu, sigma = calculate_activation_statistics(acts)

@@ -14,8 +14,6 @@ Input: (N, T, H, W, 3) in [0, 1]; resized to 224 and rescaled to [-1, 1]
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -122,8 +120,18 @@ class I3D(nn.Module):
         x = _max_pool_3d(x, (2, 2, 2), (2, 2, 2))
         x = InceptionBlock(*_BLOCKS["Mixed_5b"], name="Mixed_5b")(x)
         x = InceptionBlock(*_BLOCKS["Mixed_5c"], name="Mixed_5c")(x)
-        # logits head: global spatial avg pool (keep time), 1x1x1 conv, time-mean
+        # logits head (kinetics-i3d Logits: avg_pool3d VALID window (2,7,7)
+        # stride 1, then 1x1x1 conv, then temporal mean; piergiaj/pytorch-i3d
+        # matches). At the canonical 224 input the spatial extent here is
+        # exactly 7, so the window's spatial part IS a full spatial mean; the
+        # temporal window of 2 averages adjacent pairs, which weights
+        # interior time positions 2x vs the endpoints relative to a plain
+        # mean — the distinction is live whenever the post-stem temporal
+        # extent exceeds 2 (e.g. clips of 20+ frames). Extent-1 inputs skip
+        # the window (the original would reject them outright).
         x = x.mean(axis=(2, 3), keepdims=True)
+        if x.shape[1] >= 2:
+            x = 0.5 * (x[:, 1:] + x[:, :-1])
         x = Unit3D(
             self.num_classes,
             use_bn=False,
@@ -135,9 +143,6 @@ class I3D(nn.Module):
 
 
 # --------------------------------------------------------------------------
-_TORCH_BRANCH = {"b0": "b0", "b1a": "b1a", "b1b": "b1b", "b2a": "b2a", "b2b": "b2b", "b3b": "b3b"}
-
-
 def load_torch_i3d_state_dict(sd) -> dict:
     """Convert a piergiaj/pytorch-i3d `InceptionI3d` state_dict. Its Unit3D
     paths look like `Mixed_3b.b0.conv3d.weight` / `...bn.{weight,bias,

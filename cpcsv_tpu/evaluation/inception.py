@@ -283,7 +283,7 @@ def make_inception_classifier(weights_path: str | None = None, num_classes: int 
     return classify
 
 
-def make_inception_extractor(weights_path: str | None = None, batch_size: int = 64):
+def make_inception_extractor(weights_path: str | None = None):
     """Returns a jitted fn images(N,H,W,3 in [0,1]) -> (N, 2048) features.
 
     Weights resolve through evaluation.weights (explicit path ->

@@ -11,6 +11,12 @@ import numpy as np
 def inception_score_from_probs(probs: np.ndarray, splits: int = 10):
     """probs: (N, num_classes) softmax outputs."""
     N = probs.shape[0]
+    if N < splits:
+        raise ValueError(
+            f"inception score needs at least splits={splits} samples, got {N} "
+            "(lower `splits` or provide more images; np.mean over zero chunks "
+            "would silently return NaN)"
+        )
     scores = []
     for k in range(splits):
         part = probs[k * (N // splits) : (k + 1) * (N // splits)]

@@ -20,8 +20,6 @@ Input: (N, T, H, W, 3) NDHWC.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np

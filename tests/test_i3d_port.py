@@ -6,6 +6,7 @@ embedder path."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
@@ -107,12 +108,21 @@ class TorchI3D(nn.Module):
         x = max_pool_same(x, (2, 2, 2), (2, 2, 2))
         x = self.Mixed_5b(x)
         x = self.Mixed_5c(x)
+        # piergiaj InceptionI3d / kinetics-i3d logits head: avg_pool3d
+        # window (2,7,7) stride 1 VALID, 1x1x1 conv, temporal mean (the
+        # spatial mean below equals the 7x7 spatial window at 224 input)
         x = x.mean(dim=(3, 4), keepdim=True)  # spatial avg, keep time
+        if x.shape[2] >= 2:
+            x = F.avg_pool3d(x, (2, 1, 1), (1, 1, 1))
         x = self.logits(x)
         return x.mean(dim=2).flatten(1)  # (N, 400)
 
 
-def test_i3d_converter_forward_parity():
+# T=10 downsamples to post-stem temporal extent 2 where the temporal
+# window-2 pool is algebraically a plain mean; T=20 gives extent 3, where
+# the endpoint-vs-interior weighting is live — this case guards the head.
+@pytest.mark.parametrize("frames", [10, 20])
+def test_i3d_converter_forward_parity(frames):
     torch.manual_seed(0)
     tm = TorchI3D().eval()
     with torch.no_grad():
@@ -125,7 +135,7 @@ def test_i3d_converter_forward_parity():
     model = I3D(resize_input=False, normalize_input=False)
 
     rng = np.random.default_rng(0)
-    x = rng.uniform(-1, 1, (2, 10, 64, 64, 3)).astype(np.float32)
+    x = rng.uniform(-1, 1, (2, frames, 64, 64, 3)).astype(np.float32)
 
     with torch.no_grad():
         ref = tm(torch.tensor(x).permute(0, 4, 1, 2, 3)).numpy()
