@@ -66,12 +66,24 @@ def main(argv=None):
                                      cfg.IMSIZE, cfg.TEXT.DIMENSION, cfg.LABEL_NUM, seed=99)
     else:
         story = ClevrStoryDataset(cfg.DATA_DIR, "train", cfg.VIDEO_LEN, cfg.IMSIZE)
+        # manualSeed drives the frame-pick stream (ClevrStoryDataset draws
+        # nothing random, so only the image dataset takes a seed)
         image = ClevrImageDataset(cfg.DATA_DIR, "train", cfg.VIDEO_LEN, cfg.IMSIZE,
-                                  cfg.SESIZE, use_segment=cfg.SEGMENT_LEARNING)
+                                  cfg.SESIZE, use_segment=cfg.SEGMENT_LEARNING,
+                                  seed=args.manualSeed + 10)
         test = ClevrStoryDataset(cfg.DATA_DIR, "test", cfg.VIDEO_LEN, cfg.IMSIZE)
-    imageloader = DataLoader(image, im_bs, shuffle=True, drop_last=True)
-    storyloader = DataLoader(story, st_bs, shuffle=True, drop_last=True)
-    testloader = DataLoader(test, st_bs, shuffle=False, drop_last=True)
+    # per-host local slices + distinct shuffle seeds (story vs image loaders
+    # must not draw the same permutation; shard_batch requires each process
+    # to pass only its local rows) — same contract as build_pororo_loaders
+    from cpcsv_tpu.parallel.distributed import process_info
+
+    pi, pc = process_info()
+    imageloader = DataLoader(image, im_bs, shuffle=True, drop_last=True,
+                             seed=args.manualSeed, process_index=pi, process_count=pc)
+    storyloader = DataLoader(story, st_bs, shuffle=True, drop_last=True,
+                             seed=args.manualSeed + 1, process_index=pi, process_count=pc)
+    testloader = DataLoader(test, st_bs, shuffle=False, drop_last=True,
+                            seed=args.manualSeed + 2, process_index=pi, process_count=pc)
 
     if args.eval_fid:
         from cpcsv_tpu.evaluation.drivers import Infer

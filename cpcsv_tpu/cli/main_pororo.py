@@ -84,9 +84,19 @@ def main(argv=None):
                                       use_segment=cfg.SEGMENT_LEARNING)
         test = SyntheticStoryDataset(max(args.synthetic // 4, st_bs), cfg.VIDEO_LEN,
                                      cfg.IMSIZE, cfg.TEXT.DIMENSION, cfg.LABEL_NUM, seed=99)
-        imageloader = DataLoader(image, im_bs, shuffle=True, drop_last=True)
-        storyloader = DataLoader(story, st_bs, shuffle=True, drop_last=True)
-        testloader = DataLoader(test, st_bs, shuffle=False, drop_last=True)
+        # per-host local slices + manualSeed-driven shuffles, exactly like
+        # build_pororo_loaders — a multi-host smoke run must exercise the
+        # same input-pipeline contract as the real one (shard_batch requires
+        # each process to pass only its local rows)
+        from cpcsv_tpu.parallel.distributed import process_info
+
+        pi, pc = process_info()
+        imageloader = DataLoader(image, im_bs, shuffle=True, drop_last=True,
+                                 seed=args.manualSeed, process_index=pi, process_count=pc)
+        storyloader = DataLoader(story, st_bs, shuffle=True, drop_last=True,
+                                 seed=args.manualSeed + 1, process_index=pi, process_count=pc)
+        testloader = DataLoader(test, st_bs, shuffle=False, drop_last=True,
+                                 seed=args.manualSeed + 2, process_index=pi, process_count=pc)
     else:
         from cpcsv_tpu.data.pororo import build_pororo_loaders
 

@@ -73,7 +73,8 @@ class ClevrStoryDataset:
             "description": np.stack(des),
             "labels": np.stack(labels),
             "super_labels": np.stack(super_labels),
-            "text": ["clevr %d frame %d" % (story_id, t) for t in range(self.video_len)],
+            "text": ["clevr %d frame %d" % (story_id, t)
+                     for t in range(1, self.video_len + 1)],  # frames are 1-based
         }
 
 

@@ -7,11 +7,11 @@ which are collated into lists)."""
 
 from __future__ import annotations
 
-import queue
-import threading
 from typing import Any, Iterator, Mapping, Sequence
 
 import numpy as np
+
+from cpcsv_tpu.data.prefetch import device_prefetch
 
 
 def default_collate(items: Sequence[Mapping[str, Any]]) -> dict:
@@ -60,7 +60,6 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
         self._rng = np.random.default_rng(seed)
-        self._epoch = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -85,29 +84,13 @@ class DataLoader:
             yield batch
 
     def __iter__(self) -> Iterator[dict]:
-        self._epoch += 1
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        sentinel = object()
-
-        def producer():
-            try:
-                for batch_idx in self._index_batches():
-                    items = [self.dataset[int(i)] for i in batch_idx]
-                    q.put(self.collate_fn(items))
-            except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
-            finally:
-                q.put(sentinel)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        # one shared producer-thread/queue/sentinel implementation: decode +
+        # collate run on the background thread, depth batches in flight
+        return device_prefetch(
+            self._index_batches(),
+            lambda idx: self.collate_fn([self.dataset[int(i)] for i in idx]),
+            depth=self.prefetch,
+        )
 
 
 class WrapAroundIterator:

@@ -64,11 +64,16 @@ class _SeededDraws:
 
 def _atomic_save(path: str, arr: np.ndarray) -> None:
     """np.save via temp file + os.replace so readers never see a partial
-    file (shared DATA_DIR, concurrent multi-host cache builds)."""
-    tmp = f"{path}.tmp.{os.getpid()}"
+    file (shared DATA_DIR, concurrent multi-host cache builds). The temp
+    suffix carries a uuid, not only the PID: two HOSTS writing the shared
+    filesystem can hold the same PID, and a pid-only temp name would let
+    their writes interleave into the very corruption this guards against."""
+    import uuid
+
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     np.save(tmp, arr)
-    # np.save appends .npy when missing — our cache paths already carry it
-    os.replace(tmp if tmp.endswith(".npy") else f"{tmp}.npy", path)
+    # np.save appends .npy when the name lacks it (ours does — uuid suffix)
+    os.replace(f"{tmp}.npy", path)
 
 
 def _decode(v) -> str:
@@ -178,7 +183,13 @@ class _TextArtifacts:
         self.descriptions_original = _frame_keyed(_load_npy_dict(join(textvec, "descriptions.npy")))
 
     def pick(self, rng, frame_id):
-        """Random description index when several exist (reference :122-127)."""
+        """Random description index when several exist. Reference quirk
+        preserved: the draw is sized by the RAW-text list
+        (descriptions_original, reference pororo.py:126,205) even though the
+        index is applied to the embedded descriptions/attributes — the
+        ImageDataset CONTENT loop sizes by the embedded list instead
+        (reference :224-225); both conventions are replicated where the
+        reference uses them."""
         n = len(self.descriptions_original[frame_id])
         return int(rng.integers(0, n)) if n > 1 else 0
 
@@ -186,10 +197,13 @@ class _TextArtifacts:
 class StoryDataset:
     """5-frame story samples (reference `datasets/pororo.py:70-154`)."""
 
-    def __init__(self, dataset: VideoFolderDataset, textvec: str, imsize: int = 64, seed: int = 0):
+    def __init__(self, dataset: VideoFolderDataset, textvec, imsize: int = 64, seed: int = 0):
         self.dataset = dataset
         self.dir_path = dataset.dir_path
-        self.text = _TextArtifacts(textvec)
+        # textvec: dir path, or an already-loaded _TextArtifacts to share
+        # (the four .npy dicts are large; loading them once per process
+        # instead of once per dataset saves hundreds of MB of redundant I/O)
+        self.text = textvec if isinstance(textvec, _TextArtifacts) else _TextArtifacts(textvec)
         self.labels = dataset.labels
         self.imsize = imsize
         self._draws = _SeededDraws(seed)
@@ -232,7 +246,7 @@ class ImageDataset:
     def __init__(
         self,
         dataset: VideoFolderDataset,
-        textvec: str,
+        textvec,
         imsize: int = 64,
         sesize: int = 64,
         use_segment: bool = False,
@@ -241,7 +255,7 @@ class ImageDataset:
     ):
         self.dataset = dataset
         self.dir_path = dataset.dir_path
-        self.text = _TextArtifacts(textvec)
+        self.text = textvec if isinstance(textvec, _TextArtifacts) else _TextArtifacts(textvec)
         self.labels = dataset.labels
         self.imsize = imsize
         self.sesize = sesize
@@ -287,6 +301,9 @@ class ImageDataset:
         content, attri_c, label_c = [], [], []
         for v in lists:
             vid = _decode(v).lstrip("/").replace(".png", "")
+            # reference quirk: the CONTENT draw is sized by the EMBEDDED
+            # description list (reference pororo.py:224-225), unlike pick()
+            # above which sizes by the raw-text list — see _TextArtifacts.pick
             n = len(self.text.descriptions[vid])
             se = int(rng.integers(0, n)) if n > 1 else 0
             content.append(self.text.descriptions[vid][se])
@@ -312,10 +329,11 @@ def build_pororo_loaders(cfg, seed: int = 0):
     # distinct seed offsets per dataset so manualSeed actually drives the
     # crop/description sampling streams (the reference seeds numpy globally
     # at CLI start; loaders below use seed..seed+2 for shuffling)
-    story = StoryDataset(base, dir_path, cfg.IMSIZE, seed=seed + 10)
+    text = _TextArtifacts(dir_path)  # loaded ONCE, shared by all 3 datasets
+    story = StoryDataset(base, text, cfg.IMSIZE, seed=seed + 10)
     image = ImageDataset(
         base,
-        dir_path,
+        text,
         cfg.IMSIZE,
         cfg.SESIZE,
         use_segment=cfg.SEGMENT_LEARNING,
@@ -323,7 +341,7 @@ def build_pororo_loaders(cfg, seed: int = 0):
         seed=seed + 11,
     )
     base_test = VideoFolderDataset(dir_path, counter, cache=dir_path, min_len=4, data_type="test")
-    test_story = StoryDataset(base_test, dir_path, cfg.IMSIZE, seed=seed + 12)
+    test_story = StoryDataset(base_test, text, cfg.IMSIZE, seed=seed + 12)
 
     imageloader = DataLoader(
         image, cfg.TRAIN.IM_BATCH_SIZE * n_dev, shuffle=True, drop_last=True,

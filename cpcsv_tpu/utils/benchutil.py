@@ -32,7 +32,12 @@ def apply_env_overrides(cfg: Config, env: str = "CPCSV_BENCH_OVERRIDES") -> Conf
         k, v = item.split("=", 1)
         cur = getattr(cfg, k)  # raises AttributeError for unknown keys
         if isinstance(cur, bool):
-            v = v not in ("0", "false", "False")
+            # strict parse (same table as cli._str2bool): an unrecognized
+            # token like "off" must error, not silently become True and
+            # attribute an A/B perf delta to the wrong configuration
+            from cpcsv_tpu.cli.main_pororo import _str2bool
+
+            v = _str2bool(v)
         elif isinstance(cur, (int, float)):
             v = type(cur)(v)
         overrides[k] = v
