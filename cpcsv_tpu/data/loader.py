@@ -59,7 +59,20 @@ class DataLoader:
         self.collate_fn = collate_fn
         self.process_index = process_index
         self.process_count = process_count
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Derive the shuffle stream (and the dataset's per-item sampling
+        draws) from (seed, epoch) — same role as torch DistributedSampler's
+        set_epoch. The trainer calls this each epoch so a resumed run's
+        epoch E sees exactly the data order an uninterrupted run would; the
+        seed stays identical across hosts (the global permutation must
+        agree), only the slice taken from it differs."""
+        self._rng = np.random.default_rng([self._seed, epoch])
+        draws = getattr(self.dataset, "_draws", None)
+        if draws is not None:
+            draws.reseed(epoch)
 
     def __len__(self) -> int:
         n = len(self.dataset)

@@ -54,8 +54,16 @@ class _SeededDraws:
     Thread-safe (the DataLoader producer threads share dataset instances)."""
 
     def __init__(self, seed: int):
+        self._seed = seed
         self._master = np.random.default_rng(seed)
         self._lock = threading.Lock()
+
+    def reseed(self, epoch: int) -> None:
+        """Re-derive the master stream from (seed, epoch). DataLoader
+        .set_epoch calls this so a resumed run's epoch E draws the same
+        crops/description picks as an uninterrupted run's epoch E."""
+        with self._lock:
+            self._master = np.random.default_rng([self._seed, epoch])
 
     def child(self) -> np.random.Generator:
         with self._lock:

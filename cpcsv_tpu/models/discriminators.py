@@ -168,7 +168,14 @@ class ImageDiscriminator(nn.Module):
         real_feat = self.encode_img(real, train=train)
         fake_feat = self.encode_img(fake, train=train)
         real_logits = self.get_cond_logits(real_feat, cond, train=train)
-        wrong_logits = self.get_cond_logits(real_feat[:-1], cond[1:], train=train)
+        if real.shape[0] > 1:
+            wrong_logits = self.get_cond_logits(real_feat[:-1], cond[1:], train=train)
+        else:
+            # batch==1 has no mismatched pair. Skipping the CALL (not just
+            # zeroing the loss, gan_losses.py does that too) matters: a
+            # train-mode BatchNorm forward over an EMPTY batch writes NaN
+            # into the cond head's running stats permanently.
+            wrong_logits = jnp.zeros((0,), dtype=real_logits.dtype)
         fake_logits = self.get_cond_logits(fake_feat, cond, train=train)
         cate = self.cate_classify(real_feat) if self.use_categories else None
         return real_logits, wrong_logits, fake_logits, cate
@@ -258,7 +265,12 @@ class StoryDiscriminator(nn.Module):
         real_feat = self(real, train=train)
         fake_feat = self(fake, train=train)
         real_logits = self.get_cond_logits(real_feat, cond, train=train)
-        wrong_logits = self.get_cond_logits(real_feat[:-1], cond[1:], train=train)
+        if real.shape[0] > 1:
+            wrong_logits = self.get_cond_logits(real_feat[:-1], cond[1:], train=train)
+        else:
+            # see ImageDiscriminator.d_phase: an empty-batch train-mode BN
+            # forward would poison the head's running stats with NaN
+            wrong_logits = jnp.zeros((0,), dtype=real_logits.dtype)
         fake_logits = self.get_cond_logits(fake_feat, cond, train=train)
         order_logits = None
         if self.use_seq_consistency and shuffled is not None:

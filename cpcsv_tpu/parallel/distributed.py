@@ -21,16 +21,29 @@ import os
 import jax
 
 
+def _is_initialized() -> bool:
+    check = getattr(jax.distributed, "is_initialized", None)
+    if check is not None:
+        return bool(check())
+    from jax._src import distributed as _dist  # older jax: no public probe
+
+    return getattr(_dist.global_state, "client", None) is not None
+
+
 def initialize_distributed(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
     process_id: int | None = None,
 ) -> None:
-    """Start the jax.distributed runtime (idempotent).
+    """Start the jax.distributed runtime (idempotent: a second call is a
+    no-op — jax.distributed.initialize itself RAISES on reinitialization,
+    so callers layering CLI + library entry points need this guard).
 
     With no arguments, jax auto-detects cluster parameters on TPU pods
     (GCE metadata). Call BEFORE any other jax API touches the backend.
     """
+    if _is_initialized():
+        return
     kwargs = {}
     if coordinator_address:
         kwargs["coordinator_address"] = coordinator_address
@@ -52,10 +65,18 @@ def maybe_initialize_from_env() -> bool:
     """
     coord = os.environ.get("CPCSV_COORDINATOR")
     if coord:
+        num = os.environ.get("CPCSV_NUM_PROCESSES")
+        pid = os.environ.get("CPCSV_PROCESS_ID")
+        if num is None or pid is None:
+            raise RuntimeError(
+                "CPCSV_COORDINATOR is set but "
+                f"{'CPCSV_NUM_PROCESSES' if num is None else 'CPCSV_PROCESS_ID'}"
+                " is missing — a half-configured multi-host environment"
+            )
         initialize_distributed(
             coordinator_address=coord,
-            num_processes=int(os.environ["CPCSV_NUM_PROCESSES"]),
-            process_id=int(os.environ["CPCSV_PROCESS_ID"]),
+            num_processes=int(num),
+            process_id=int(pid),
         )
         return True
     if os.environ.get("CPCSV_DISTRIBUTED") == "1":

@@ -81,7 +81,12 @@ def shard_batch(batch: Any, mesh: Mesh, scan_axis: bool = False) -> Any:
             for k, v in batch.items()
             if isinstance(v, (np.ndarray, jax.Array))
         }
-    return jax.tree.map(put, batch)
+    # generic pytrees can't DROP leaves without changing tree structure, so
+    # non-array leaves pass through unchanged (same filter, different
+    # disposal — a device_put on e.g. a text list would TypeError)
+    return jax.tree.map(
+        lambda x: put(x) if isinstance(x, (np.ndarray, jax.Array)) else x, batch
+    )
 
 
 def pad_to_multiple(batch: dict, multiple: int) -> dict:

@@ -6,7 +6,13 @@ Reference protocol (miscc/utils.py:323-338, trainer.py:121-131,482-485):
 
 Improvement over the reference (documented deviation): optimizer state and
 BN/spectral statistics are saved too, so resume is exact — the reference
-loses Adam moments and restarts the LR schedule.
+loses Adam moments and restarts the LR schedule. Randomness is resume-exact
+at epoch granularity: the trainer derives every epoch's jax/numpy streams
+from (seed, epoch) (trainer.py train loop, DataLoader.set_epoch), so a
+resumed epoch E uses the same noise keys, shuffles and dataset draws as an
+uninterrupted run. The one non-checkpointed input state is the image
+loader's wrap-around position within an epoch (the reference checkpoints no
+loader state at all).
 """
 
 from __future__ import annotations
@@ -197,16 +203,18 @@ class CheckpointManager:
             state,
         )
         if epoch is not None:
-            g_path = self._path(f"netG_epoch_{epoch}")
-            if os.path.exists(g_path):
-                g_vars = self.restore_generator(template.gen.variables(), epoch)
-                state = state.replace(
-                    gen=state.gen.replace(
-                        params=g_vars["params"],
-                        batch_stats=g_vars["batch_stats"],
-                        spectral=g_vars["spectral"],
-                    )
+            # no exists() pre-check: restore_generator recovers a crash-swap
+            # `.old` remnant and otherwise raises loudly — silently keeping
+            # the train-state generator (possibly a LATER epoch) under an
+            # explicit --continue_ckpt E would retrain from the wrong weights
+            g_vars = self.restore_generator(template.gen.variables(), epoch)
+            state = state.replace(
+                gen=state.gen.replace(
+                    params=g_vars["params"],
+                    batch_stats=g_vars["batch_stats"],
+                    spectral=g_vars["spectral"],
                 )
+            )
         return state
 
     def save_generator(self, variables: dict, epoch: int):
@@ -223,9 +231,14 @@ class CheckpointManager:
             shutil.rmtree(staging)
         self._ckptr.save(staging, variables, force=True)
         if primary:
-            if os.path.exists(old):
-                shutil.rmtree(old)
+            # never delete .old while `final` is missing: if a previous crash
+            # left this epoch's only copy in .old, removing it before the
+            # replacement is installed would re-open the exact loss window
+            # the swap exists to close (the state path promotes remnants for
+            # the same reason, _save_state_atomic above)
             if os.path.exists(final):
+                if os.path.exists(old):
+                    shutil.rmtree(old)
                 os.rename(final, old)
             os.rename(staging, final)
             if os.path.exists(old):

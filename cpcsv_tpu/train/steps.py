@@ -228,14 +228,17 @@ def make_train_steps(cfg: Config, models, jit: bool = True, ratio: float = 1.0):
         )
         state = state.replace(d_im=new_d_im)
 
-        st_extra = None
-        if cfg.USE_SEQ_CONSISTENCY:
-            st_extra = {
+        # the story D ALWAYS gets a dict (possibly empty: no shuffle branch);
+        # image/seg Ds get None — one_d dispatches on `extra is not None`,
+        # NOT truthiness (an empty dict still means "story D")
+        st_extra = (
+            {
                 "shuffled": st_batch["shuffled"],
                 "order_labels": st_batch["order_labels"],
             }
-        else:
-            st_extra = {}
+            if cfg.USE_SEQ_CONSISTENCY
+            else {}
+        )
         new_d_st, st_outs = one_d(
             d_st,
             state.d_st,

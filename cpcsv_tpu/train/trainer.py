@@ -130,8 +130,12 @@ class GANTrainer:
     # ------------------------------------------------------------------
     def train(self, imageloader: DataLoader, storyloader: DataLoader, testloader=None):
         cfg = self.cfg
-        rng = jax.random.PRNGKey(self.seed)
-        state = create_train_state(cfg, rng, self.models)
+        # independent init/train streams: jax.random.split(k, 5) and
+        # split(k, 3) share threefry counter prefixes, so feeding the SAME
+        # key to create_train_state and the loop would make the first step's
+        # noise keys literally EQUAL the param-init keys (key reuse)
+        init_rng, train_rng = jax.random.split(jax.random.PRNGKey(self.seed))
+        state = create_train_state(cfg, init_rng, self.models)
 
         if cfg.NET_G:
             # warm-start generator from a snapshot dir (reference
@@ -201,6 +205,17 @@ class GANTrainer:
         last_st_batch = None
         for epoch in range(start_epoch, self.max_epoch):
             start_t = time.time()
+            # per-epoch randomness derived from (seed, epoch), not from loop
+            # history: epoch E draws the same noise keys, shuffle
+            # permutations and dataset crops whether it is reached directly
+            # or via --continue_ckpt auto (resume-exact randomness; a
+            # resumed run can never replay epochs 0..E-1's already-consumed
+            # streams)
+            rng = jax.random.fold_in(train_rng, epoch)
+            self._np_rng = np.random.default_rng([self.seed, epoch])
+            for loader in (storyloader, imageloader):
+                if hasattr(loader, "set_epoch"):
+                    loader.set_epoch(epoch)
             lr_g = lr_at_epoch(cfg.TRAIN.GENERATOR_LR, epoch, cfg.TRAIN.LR_DECAY_EPOCH)
             lr_d = lr_at_epoch(
                 cfg.TRAIN.DISCRIMINATOR_LR, epoch, cfg.TRAIN.LR_DECAY_EPOCH
@@ -246,6 +261,10 @@ class GANTrainer:
                     if profile_dir and i == 2:
                         jax.profiler.start_trace(profile_dir)
                         trace_active = True
+                    # D and G dispatched back-to-back, ONE readback per pair
+                    # (the device_get below): measured 80.7 ms/step on the
+                    # tunnel (PARITY.md) — the +400 ms no-readback pathology
+                    # applies to consecutive SCAN chunks, not this pair
                     state, d_metrics = self.d_step(state, k_d, st_batch, im_batch, lr_d)
                     state, g_metrics = self.g_step(state, k_g, st_batch, im_batch, lr_g)
                     if profile_dir and i == 5:

@@ -115,6 +115,47 @@ def test_auto_resume_skips_completed_epoch(tmp_path):
     assert int(state2.step) == steps_per_epoch  # no duplicated epoch
 
 
+def test_auto_resume_reproduces_uninterrupted_run(tmp_path):
+    """Resume-exact randomness: every epoch's jax/numpy streams derive from
+    (seed, epoch) (trainer fold_in + DataLoader.set_epoch), so training
+    epochs 0..2 straight and training 0..1 then auto-resuming epoch 2 must
+    yield IDENTICAL final parameters — the resumed run can no longer replay
+    epoch-0's already-consumed noise keys and shuffle permutations."""
+    cfg3 = tiny_cfg(tmp_path, cascade=False)
+    cfg3 = cfg3.with_updates(
+        TRAIN=cfg3.TRAIN.__class__(**{**cfg3.TRAIN.__dict__, "MAX_EPOCH": 3})
+    )
+    cfg2 = cfg3.with_updates(
+        TRAIN=cfg3.TRAIN.__class__(**{**cfg3.TRAIN.__dict__, "MAX_EPOCH": 2})
+    )
+
+    straight = GANTrainer(cfg3, str(tmp_path / "straight"), seed=0)
+    state_straight = straight.train(*_fresh_loaders(cfg3))
+
+    out2 = str(tmp_path / "resumed")
+    GANTrainer(cfg2, out2, seed=0).train(*_fresh_loaders(cfg2))
+    resumed = GANTrainer(cfg3, out2, continue_ckpt="auto", seed=0)
+    state_resumed = resumed.train(*_fresh_loaders(cfg3))
+
+    assert int(state_resumed.step) == int(state_straight.step)
+    for a, b in zip(
+        jax.tree.leaves(state_straight.gen.params),
+        jax.tree.leaves(state_resumed.gen.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(state_straight.d_st.params),
+        jax.tree.leaves(state_resumed.d_st.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _fresh_loaders(cfg):
+    # fresh loader objects per run: a resumed process starts with fresh
+    # iterator state too, and the equality must not depend on shared ones
+    return make_loaders(cfg)
+
+
 def test_checkpoint_survives_crash_during_save(tmp_path):
     """Crash-safety (found by the round-3 dress rehearsal): Orbax force=True
     deletes the existing train_state_last before writing its replacement, so
