@@ -81,6 +81,11 @@ class DGetLogits(nn.Module):
         self, h_code: jnp.ndarray, c_code: Optional[jnp.ndarray] = None, train: bool = True
     ) -> jnp.ndarray:
         if self.bcondition and c_code is not None:
+            if c_code.shape[-1] != self.nef:
+                raise ValueError(
+                    f"condition width {c_code.shape[-1]} != nef={self.nef} "
+                    "(CONDITION_DIM + TEXT.DIMENSION + LABEL_NUM)"
+                )
             c = jnp.broadcast_to(
                 c_code[:, None, None, :], (c_code.shape[0], 4, 4, c_code.shape[-1])
             ).astype(h_code.dtype)
@@ -145,7 +150,18 @@ class ImageDiscriminator(nn.Module):
         if self.use_categories:
             self.cate_classify = _CateClassify(self.label_num, dtype=self.dtype)
 
+    def _check_in(self, image):
+        if image.shape[-1] != self.in_channels:
+            # e.g. RGB frames fed to the 1-channel SegDiscriminator: the lazy
+            # conv would silently build a wrong-width c0 kernel that no
+            # longer matches the reference porter layout
+            raise ValueError(
+                f"{type(self).__name__} expects {self.in_channels}-channel "
+                f"input, got {image.shape[-1]}"
+            )
+
     def __call__(self, image: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        self._check_in(image)
         return self.encode_img(image, train=train)
 
     def cond_logits(self, features, conditions, train: bool = True):
@@ -156,6 +172,7 @@ class ImageDiscriminator(nn.Module):
 
     def full_forward(self, image, conditions, train: bool = True):
         """Touches every head — use for param init."""
+        self._check_in(image)
         feat = self.encode_img(image, train=train)
         logits = self.get_cond_logits(feat, conditions, train=train)
         cate = self.cate_classify(feat) if self.use_categories else None
@@ -165,6 +182,7 @@ class ImageDiscriminator(nn.Module):
         """D-update forwards: real/wrong/fake logits + cate on real features
         (order matches reference compute_discriminator_loss so BN/SN state
         evolves the same way)."""
+        self._check_in(real)
         real_feat = self.encode_img(real, train=train)
         fake_feat = self.encode_img(fake, train=train)
         real_logits = self.get_cond_logits(real_feat, cond, train=train)

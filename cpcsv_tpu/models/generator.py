@@ -281,6 +281,14 @@ class StoryGenerator(nn.Module):
         train: bool = True,
     ) -> GeneratorOutput:
         B, T = motion_input.shape[0], motion_input.shape[1]
+        if T != self.video_len or content_input.shape[-1] != self.text_dim:
+            # trace-time config check: a mismatch would otherwise surface as
+            # an opaque dense-kernel shape error inside ca_net
+            raise ValueError(
+                f"sample_videos got T={T}, text={content_input.shape[-1]} but "
+                f"the generator was built with video_len={self.video_len}, "
+                f"text_dim={self.text_dim} (cfg.VIDEO_LEN / cfg.TEXT.DIMENSION)"
+            )
         content_flat = content_input.reshape(B, -1)
         r_code, r_mu, r_logvar = self.ca_net(content_flat, sample=True)
 

@@ -10,9 +10,14 @@ semantics and variable layout:
   * params  'scale'/'bias' (fp32), batch_stats 'mean'/'var' (fp32) — same
     names/shapes, so checkpoints and the torch weight porter are unaffected;
   * train stats: mean = E[x_f32], var = max(0, E[x^2] - E[x]^2) (flax
-    use_fast_variance), normalize in fp32, cast to `dtype` at the end;
-  * running update: ra = momentum * ra + (1-momentum) * batch (biased var),
-    skipped while initializing — identical to flax;
+    use_fast_variance), normalize in fp32, cast to `dtype` at the end.
+    NOTE on bf16: flax normalizes IN `dtype` (bf16 arithmetic) while this
+    module normalizes in fp32 and casts only the output — at
+    COMPUTE_DTYPE=bfloat16 the two arms differ by bf16 rounding of the
+    normalize arithmetic (this arm is the more accurate one);
+  * running update: ra = momentum * ra + (1-momentum) * batch, with torch's
+    UNBIASED variance (x M/(M-1); see blocks.TorchBatchNorm), skipped while
+    initializing;
   * backward: the standard train-mode BN VJP (gradients flow through the
     batch statistics), with the two channel reductions (sum dy, sum dy*xhat)
     in Pallas. The returned (mean, var) carry no gradient — they only feed
@@ -116,6 +121,8 @@ class PallasBatchNorm(nn.Module):
         )
         if not self.is_initializing():
             m = self.momentum
+            n = x2d.shape[0]
+            bessel = n / max(n - 1, 1)  # torch's unbiased running variance
             ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
-            ra_var.value = m * ra_var.value + (1.0 - m) * var
+            ra_var.value = m * ra_var.value + (1.0 - m) * var * bessel
         return y2d.reshape(x.shape).astype(out_dtype)

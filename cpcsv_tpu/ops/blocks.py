@@ -3,7 +3,8 @@
 Reference equivalents: `conv3x3` / `upBlock` (reference `model.py:16-34`),
 `downBlock` (reference `cascade_model.py:36-41`) and the discriminator's
 4x4-stride-2 conv (reference `model.py:498-513`). BatchNorm matches torch
-defaults (eps=1e-5, running-stat momentum 0.1) and weight init matches
+defaults (eps=1e-5, running-stat momentum 0.1, UNBIASED running variance —
+see TorchBatchNorm) and weight init matches
 `weights_init` (reference `miscc/utils.py:191-201`): conv/linear ~ N(0,0.02),
 BN scale ~ N(1,0.02), biases 0.
 """
@@ -21,6 +22,97 @@ normal_kernel_init = nn.initializers.normal(stddev=0.02)
 
 def bn_scale_init(rng, shape, dtype=jnp.float32):
     return 1.0 + 0.02 * jax.random.normal(rng, shape, dtype)
+
+
+class TorchBatchNorm(nn.BatchNorm):
+    """flax nn.BatchNorm with torch's UNBIASED running-variance update.
+
+    torch stores the Bessel-corrected batch variance (x M/(M-1), M = count
+    of reduced elements) in running_var while normalizing with the biased
+    one (torch/nn/functional.py batch_norm); flax stores the biased
+    variance. Negligible for conv BNs (M = N*H*W) but visible on the Dense
+    BN heads (M = batch rows: ~1% at the production batch, ~10% in tiny
+    tests). The forward compute is flax's own (the body below is flax
+    0.12.3's __call__ verbatim except the ra_var line); only the running
+    update differs."""
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None, *, mask=None):
+        from flax.linen import module as _module
+        from flax.linen.normalization import (
+            _canonicalize_axes,
+            _compute_stats,
+            _normalize,
+        )
+
+        use_running_average = _module.merge_param(
+            "use_running_average", self.use_running_average, use_running_average
+        )
+        feature_axes = _canonicalize_axes(x.ndim, self.axis)
+        reduction_axes = tuple(i for i in range(x.ndim) if i not in feature_axes)
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+
+        stat_dtype = (
+            jnp.float32 if self.force_float32_reductions else self.param_dtype
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, stat_dtype), feature_shape
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, stat_dtype), feature_shape
+        )
+
+        if use_running_average:
+            mean = (
+                ra_mean.value
+                if self.force_float32_reductions
+                else jnp.asarray(ra_mean.value, self.param_dtype)
+            )
+            var = (
+                ra_var.value
+                if self.force_float32_reductions
+                else jnp.asarray(ra_var.value, self.param_dtype)
+            )
+        else:
+            mean, var = _compute_stats(
+                x,
+                reduction_axes,
+                dtype=self.dtype,
+                axis_name=self.axis_name if not self.is_initializing() else None,
+                axis_index_groups=self.axis_index_groups,
+                use_fast_variance=self.use_fast_variance,
+                mask=mask,
+                force_float32_reductions=self.force_float32_reductions,
+            )
+            if not self.is_initializing():
+                m = 1
+                for ax in reduction_axes:
+                    m *= x.shape[ax]
+                bessel = m / max(m - 1, 1)  # torch's unbiased running var
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value
+                    + (1 - self.momentum) * var * bessel
+                )
+
+        return _normalize(
+            self,
+            x,
+            mean,
+            var,
+            reduction_axes,
+            feature_axes,
+            self.dtype,
+            self.param_dtype,
+            self.epsilon,
+            self.use_bias,
+            self.use_scale,
+            self.bias_init,
+            self.scale_init,
+            self.force_float32_reductions,
+        )
 
 
 def make_batchnorm(dtype=None, name: str | None = None, backend: str = "xla"):
@@ -45,7 +137,7 @@ def make_batchnorm(dtype=None, name: str | None = None, backend: str = "xla"):
             scale_init=bn_scale_init,
             name=name,
         )
-    return nn.BatchNorm(
+    return TorchBatchNorm(
         use_running_average=None,  # caller passes use_running_average
         momentum=0.9,  # flax: new = m*old + (1-m)*batch  == torch momentum 0.1
         epsilon=1e-5,

@@ -1,9 +1,10 @@
-"""GRU cell with torch gate layout + `lax.scan` unroll.
+"""GRU cell with torch gate layout + static traced unroll.
 
-The reference unrolls two `nn.GRUCell`s in Python loops over the 5 frames
-(reference `model.py:321-346`). Here the cell uses torch's gate math and
-parameter layout (so reference checkpoints can be ported 1:1) and the
-temporal unroll is a `jax.lax.scan` — one compiled step reused T times.
+The reference unrolls two `nn.GRUCell`s in EAGER Python loops over the 5
+frames (reference `model.py:321-346`). Here the cell uses torch's gate math
+and parameter layout (so reference checkpoints can be ported 1:1) and the
+temporal unroll is a STATIC loop inside one jit trace (see gru_scan's
+docstring for why that beats lax.scan at T=5) — XLA fuses the whole unroll.
 
 torch GRUCell math:
     r = sigmoid(x W_irᵀ + b_ir + h W_hrᵀ + b_hr)

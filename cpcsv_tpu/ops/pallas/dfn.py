@@ -46,6 +46,19 @@ def _dfn_kernel(img_ref, filt_ref, out_ref, *, L: int, K: int):
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
+def _choose_tile(b: int) -> tuple[int, int]:
+    """(TB, Bp) batch tiling: TB is a power of two >= 8 (output-block sublane
+    divisibility) chosen so the grid ceil(b/TB) stays <= 1024 programs; Bp
+    pads the batch up to a TB multiple (sliced off after the kernel).
+    Deriving TB from b BEFORE padding always terminates — an earlier version
+    derived it from the already-8-padded batch and looped forever whenever
+    that quotient was odd and > 1024 (e.g. b=8200)."""
+    tb = 8
+    while -(-b // tb) > 1024:
+        tb *= 2
+    return tb, -(-b // tb) * tb
+
+
 @functools.partial(jax.jit, static_argnames=("pad", "interpret"))
 def dfn_pallas(
     image: jnp.ndarray, filters: jnp.ndarray, pad: int, interpret: bool = False
@@ -59,15 +72,9 @@ def dfn_pallas(
     _, O, _, K = filters.shape
     assert O == 1, "pallas DFN kernel supports out_num=1"
     L_out = L + 2 * pad - K + 1
-    # TPU tiling: the output block's sublane dim must be divisible by 8 —
-    # pad the batch up to a multiple of 8 (sliced off at the end).
-    Bp = -(-B // 8) * 8
+    TB, Bp = _choose_tile(B)
     padded = jnp.pad(image, ((0, Bp - B), (0, 0), (pad, pad)))
     filt = jnp.pad(filters[:, 0], ((0, Bp - B), (0, 0), (0, 0)))  # (Bp, C, K)
-
-    TB = 8
-    while Bp % TB or (Bp // TB) > 1024:
-        TB *= 2
     grid = (Bp // TB,)
 
     out = pl.pallas_call(

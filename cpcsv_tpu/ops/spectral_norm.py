@@ -10,8 +10,12 @@ Math (matching torch semantics, eps=1e-12):
     W_mat = reshape(W, (out, -1))
     v = normalize(W_matᵀ u); u' = normalize(W_mat v); σ = u'ᵀ W_mat v
     W_sn = W / σ
-Gradients flow through W/σ with u, v treated as constants (stop_gradient),
-same as torch's buffer semantics.
+Gradient semantics match torch exactly: u and v are constants (buffers,
+computed under stop_gradient), but σ = uᵀWv is computed from the LIVE W —
+torch does NOT detach the weight there (torch/nn/utils/spectral_norm.py
+compute_weight), so d(W/σ)/dW carries the -(W/σ²)·u vᵀ term. An earlier
+version stopped the gradient through σ too; that dropped ~10% of the
+gradient (pinned against real torch in tests/test_ops.py).
 """
 
 from __future__ import annotations
@@ -34,8 +38,9 @@ def spectral_normalize(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One power-iteration step. Returns (sigma, new_u).
 
-    w_mat: (out, rest) matrix view of the weight (gradient flows through it
-    only via the final sigma product's stop-gradient-free W/σ division).
+    w_mat: (out, rest) matrix view of the weight. The power iteration runs
+    on the stopped weight (u, v are buffers), but sigma is uᵀWv with the
+    LIVE W — torch semantics; see the module docstring.
     """
     w_ng = jax.lax.stop_gradient(w_mat)
     v = _l2_normalize(w_ng.T @ u)
@@ -43,7 +48,7 @@ def spectral_normalize(
         # torch order: v from the OLD u, then u updated, sigma = u' W v with
         # that SAME v (exactly one power iteration per forward).
         u = _l2_normalize(w_ng @ v)
-    sigma = u @ (w_ng @ v)
+    sigma = u @ (w_mat @ v)
     return sigma, u
 
 
