@@ -67,7 +67,6 @@ def _arm_watchdog():
 
 
 def main():
-    from cpcsv_tpu.config import GanConfig
     from cpcsv_tpu.models import build_models
     from cpcsv_tpu.train import create_train_state, make_train_steps
     from cpcsv_tpu.utils.benchutil import bench_config, synthetic_batches
@@ -81,9 +80,9 @@ def main():
     overrides = bool(os.environ.get("CPCSV_BENCH_OVERRIDES", ""))
     B_st, B_im, T = 18, 90, cfg.VIDEO_LEN
     if not on_tpu:  # CPU smoke: shrink so the bench itself stays runnable
-        cfg = cfg.with_updates(
-            GAN=GanConfig(CONDITION_DIM=124, Z_DIM=100, DF_DIM=16, GF_DIM=8, GF_SEG_DIM=32)
-        )
+        from cpcsv_tpu.utils.benchutil import shrink_for_cpu
+
+        cfg = shrink_for_cpu(cfg)
         B_st, B_im = 2, 4
     # CPCSV_BENCH_SCALE=k multiplies both batch sizes (per-chip batch-scaling
     # study; the reference final.yml shape is k=1 and is what BENCH_BASELINE
@@ -98,7 +97,13 @@ def main():
     #   CPCSV_BENCH_DONATE=1 (default) | 0 (no buffer donation)
     default_mode = "scan" if cfg.SCAN_STEPS > 1 else "split"
     step_mode = os.environ.get("CPCSV_BENCH_STEP", default_mode)
-    donate = os.environ.get("CPCSV_BENCH_DONATE", "1") not in ("0", "false")
+    if step_mode not in ("scan", "split", "fused"):
+        # loud failure: a typo'd mode silently timing the default arm is the
+        # exact A/B misattribution benchutil's strict parsing guards against
+        raise SystemExit(f"CPCSV_BENCH_STEP must be scan|split|fused, got {step_mode!r}")
+    from cpcsv_tpu.cli.main_pororo import _str2bool
+
+    donate = _str2bool(os.environ.get("CPCSV_BENCH_DONATE", "1"))
 
     models = build_models(cfg)
     state = create_train_state(cfg, jax.random.PRNGKey(0), models)
@@ -207,17 +212,23 @@ def main():
         assert np.isfinite(final_loss)
         dt = (time.perf_counter() - t0) / n_iters
     else:
-        # warmup / compile; force completion via metric readback
-        state, m = one_step(state, key)
-        _ = float(np.asarray(m["G/loss"]))
+        # warmup: TWO executions with readbacks (steady state begins at
+        # execution 2-3 on the tunnel, same as the scan branch)
+        for _ in range(2):
+            key, sub = jax.random.split(key)
+            state, m = one_step(state, sub)
+            _ = float(np.asarray(m["G/loss"]))
 
         t0 = time.perf_counter()
         for _ in range(n_iters):
             key, sub = jax.random.split(key)
             state, m = one_step(state, sub)
-        # completion barrier: HOST readback of a scalar computed by the final
-        # step (block_until_ready alone under-measured ~22x on this tunnel)
-        final_loss = float(np.asarray(m["G/loss"]))
+            # per-step readback = the production cadence (the trainer
+            # device_gets each step's metrics) AND the completion barrier:
+            # block_until_ready alone under-measured ~22x on this tunnel,
+            # and back-to-back dispatches with NO readback between them
+            # serialize pathologically (CLAUDE.md tunnel pitfall)
+            final_loss = float(np.asarray(m["G/loss"]))
         assert np.isfinite(final_loss)
         dt = (time.perf_counter() - t0) / n_iters
 

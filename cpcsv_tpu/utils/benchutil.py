@@ -56,6 +56,17 @@ def bench_config(on_tpu: bool) -> Config:
     return apply_env_overrides(cfg)
 
 
+def shrink_for_cpu(cfg: Config) -> Config:
+    """Tiny GAN dims for CPU smoke runs of the perf tools — the full
+    final.yml-scale model is a multi-minute compile on the 1-core host.
+    ONE shared shrink so every tool smokes the SAME config."""
+    from cpcsv_tpu.config import GanConfig
+
+    return cfg.with_updates(
+        GAN=GanConfig(CONDITION_DIM=124, Z_DIM=100, DF_DIM=16, GF_DIM=8, GF_SEG_DIM=32)
+    )
+
+
 def synthetic_batches(cfg: Config, b_st: int, b_im: int, seed: int = 0):
     """The bench's synthetic (st_batch, im_batch) at the given batch sizes —
     the exact input schema of train/steps.py."""

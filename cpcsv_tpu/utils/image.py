@@ -25,12 +25,14 @@ def images_to_numpy(img: np.ndarray) -> np.ndarray:
 
 def make_grid(images: np.ndarray, ncol: int, pad: int = 2) -> np.ndarray:
     """(N,H,W,C) float [-1,1] -> grid (H',W',C) float [-1,1]
-    (equivalent of torchvision.utils.make_grid with padding=2)."""
+    (equivalent of torchvision.utils.make_grid with padding=2, pad_value=0:
+    the reference grids separators render MID-GRAY after the [-1,1]->[0,255]
+    mapping, since vutils.make_grid pads BEFORE images_to_numpy)."""
     n, h, w, c = images.shape
     ncol = min(ncol, n)
     nrow = (n + ncol - 1) // ncol
     grid = np.full(
-        (nrow * (h + pad) + pad, ncol * (w + pad) + pad, c), -1.0, images.dtype
+        (nrow * (h + pad) + pad, ncol * (w + pad) + pad, c), 0.0, images.dtype
     )
     for i in range(n):
         r, cl = divmod(i, ncol)

@@ -34,6 +34,12 @@ def main(argv=None):
 
     on_tpu = jax.devices()[0].platform == "tpu"
     cfg = bench_config(on_tpu)
+    if not on_tpu:
+        # same shared shrink as bench.py: the CPU smoke test otherwise pays
+        # a full final.yml-scale compile on the 1-core host
+        from cpcsv_tpu.utils.benchutil import shrink_for_cpu
+
+        cfg = shrink_for_cpu(cfg)
     models = build_models(cfg)
     net_g = models[0]
     state = create_train_state(cfg, jax.random.PRNGKey(0), models)

@@ -73,8 +73,12 @@ def main():
         return st_out.image.mean() + im_out.image.mean()
 
     def time_loop(name, fn, readback_fn, iters):
-        out = fn(key)  # warmup/compile
-        _ = readback_fn(out)
+        # TWO warmups: execution 1 after compile has shown order-of-magnitude
+        # anomalies on the tunnel; steady state begins at execution 2-3
+        # (bench.py measures the same way)
+        for _ in range(2):
+            out = fn(key)
+            _ = readback_fn(out)
         t0 = time.perf_counter()
         k = key
         for _ in range(iters):

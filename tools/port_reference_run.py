@@ -134,10 +134,16 @@ def main(argv=None):
     if os.path.isfile(src) and src.endswith(".zip"):
         # the reference ships its pretrained run as final_model.zip, dropped
         # into ./output (reference README.md:73-87) — accept it directly
+        import atexit
+        import shutil
         import tempfile
         import zipfile
 
         extract_dir = tempfile.mkdtemp(prefix="cpcsv_ref_zip_")
+        # a full extracted reference run is easily GBs; never leave it in /tmp
+        # (atexit rather than try/finally: the extracted files are read
+        # throughout the rest of this function, including on error paths)
+        atexit.register(shutil.rmtree, extract_dir, ignore_errors=True)
         with zipfile.ZipFile(src) as zf:
             zf.extractall(extract_dir)
         by_dir: dict[str, int] = {}
