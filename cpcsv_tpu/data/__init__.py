@@ -1,3 +1,4 @@
+from cpcsv_tpu.data.legacy_text import TextDataset
 from cpcsv_tpu.data.loader import DataLoader
 from cpcsv_tpu.data.synthetic import SyntheticStoryDataset, SyntheticImageDataset
 
@@ -5,4 +6,5 @@ __all__ = [
     "DataLoader",
     "SyntheticStoryDataset",
     "SyntheticImageDataset",
+    "TextDataset",
 ]
