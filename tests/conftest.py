@@ -20,8 +20,6 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def devices():
     return jax.devices()
-
-
-def test_virtual_mesh_has_8_cpu_devices():
-    assert len(jax.devices()) == 8
-    assert jax.devices()[0].platform == "cpu"
+# The 8-cpu-device guard test lives in tests/test_parallel.py — pytest
+# loads conftest.py as a plugin and never COLLECTS it, so a test defined
+# here would silently never run.

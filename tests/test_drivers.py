@@ -17,7 +17,7 @@ def trained_run(tmp_path_factory):
     from cpcsv_tpu.train.trainer import GANTrainer
 
     tmp = tmp_path_factory.mktemp("run")
-    cfg = tiny_cfg(tmp, cascade=False)
+    cfg = tiny_cfg(cascade=False)
     out_dir = str(tmp / "run")
     loaders = make_loaders(cfg)
     trainer = GANTrainer(cfg, out_dir, seed=0)

@@ -16,7 +16,7 @@ from cpcsv_tpu.data.synthetic import SyntheticImageDataset, SyntheticStoryDatase
 from cpcsv_tpu.train.trainer import GANTrainer, lr_at_epoch
 
 
-def tiny_cfg(tmp, cascade=False):
+def tiny_cfg(cascade=False):
     return default_config().with_updates(
         CONFIG_NAME="e2e_test",
         CASCADE_MODEL=cascade,
@@ -63,7 +63,7 @@ def test_lr_schedule_matches_reference():
 
 
 def test_train_one_epoch_and_resume(tmp_path):
-    cfg = tiny_cfg(tmp_path, cascade=False)
+    cfg = tiny_cfg(cascade=False)
     out_dir = str(tmp_path / "run")
     imageloader, storyloader, testloader = make_loaders(cfg)
 
@@ -100,7 +100,7 @@ def test_train_one_epoch_and_resume(tmp_path):
 def test_auto_resume_skips_completed_epoch(tmp_path):
     """continue_ckpt='auto' must resume AFTER the last saved epoch (the
     snapshot is written once that epoch completed); it used to re-train it."""
-    cfg = tiny_cfg(tmp_path, cascade=False)
+    cfg = tiny_cfg(cascade=False)
     out_dir = str(tmp_path / "run_auto")
     imageloader, storyloader, testloader = make_loaders(cfg)
 
@@ -121,7 +121,7 @@ def test_auto_resume_reproduces_uninterrupted_run(tmp_path):
     epochs 0..2 straight and training 0..1 then auto-resuming epoch 2 must
     yield IDENTICAL final parameters — the resumed run can no longer replay
     epoch-0's already-consumed noise keys and shuffle permutations."""
-    cfg3 = tiny_cfg(tmp_path, cascade=False)
+    cfg3 = tiny_cfg(cascade=False)
     cfg3 = cfg3.with_updates(
         TRAIN=cfg3.TRAIN.__class__(**{**cfg3.TRAIN.__dict__, "MAX_EPOCH": 3})
     )
@@ -162,13 +162,12 @@ def test_checkpoint_survives_crash_during_save(tmp_path):
     a kill mid-save used to lose the ONLY full train state. The
     stage-and-swap save must leave a restorable checkpoint at every instant,
     and restore() must fall back to the .new/.old siblings."""
-    import shutil
 
     from cpcsv_tpu.models import build_models
     from cpcsv_tpu.train.checkpoint import CheckpointManager
     from cpcsv_tpu.train.state import create_train_state
 
-    cfg = tiny_cfg(tmp_path, cascade=False)
+    cfg = tiny_cfg(cascade=False)
     models = build_models(cfg)
     state = create_train_state(cfg, jax.random.PRNGKey(0), models)
     ckpt = CheckpointManager(str(tmp_path / "Model"))
@@ -255,7 +254,7 @@ def _two_saved_states(tmp_path):
     from cpcsv_tpu.train.checkpoint import CheckpointManager
     from cpcsv_tpu.train.state import create_train_state
 
-    cfg = tiny_cfg(tmp_path, cascade=False)
+    cfg = tiny_cfg(cascade=False)
     models = build_models(cfg)
     state_a = create_train_state(cfg, jax.random.PRNGKey(0), models)
     state_b = create_train_state(cfg, jax.random.PRNGKey(5), models)
@@ -425,10 +424,10 @@ def test_restore_casts_adam_mu_dtype(tmp_path):
     from cpcsv_tpu.train.checkpoint import CheckpointManager
     from cpcsv_tpu.train.state import create_train_state
 
-    cfg_bf = tiny_cfg(tmp_path, cascade=False).with_updates(
+    cfg_bf = tiny_cfg(cascade=False).with_updates(
         ADAM_MU_DTYPE="bfloat16"
     )
-    cfg_fp = tiny_cfg(tmp_path, cascade=False)
+    cfg_fp = tiny_cfg(cascade=False)
     models = build_models(cfg_fp)
     state_bf = create_train_state(cfg_bf, jax.random.PRNGKey(0), models)
     assert any(
@@ -448,7 +447,7 @@ def test_trainer_rejects_pallas_bn_on_multidevice_mesh(tmp_path):
     """BN_BACKEND='pallas' is single-device only (Mosaic custom calls carry
     no GSPMD partitioning rule); the trainer must fail loudly instead of
     silently replicating every BN's activations across the mesh."""
-    cfg = tiny_cfg(tmp_path, cascade=False).with_updates(BN_BACKEND="pallas")
+    cfg = tiny_cfg(cascade=False).with_updates(BN_BACKEND="pallas")
     assert jax.device_count() > 1  # conftest's 8-device virtual CPU mesh
     with pytest.raises(ValueError, match="single-device"):
         GANTrainer(cfg, str(tmp_path / "run_pallas_mesh"), seed=0)
@@ -472,7 +471,7 @@ def test_auto_resume_extends_finished_run_without_skipping(tmp_path):
     snapshot name but records completed=MAX_EPOCH-1 in last_epoch.txt, so
     auto-resume picks up at old MAX_EPOCH (not old MAX_EPOCH+1, which would
     silently skip one epoch and shift the LR schedule)."""
-    cfg = tiny_cfg(tmp_path, cascade=False)
+    cfg = tiny_cfg(cascade=False)
     out_dir = str(tmp_path / "run_extend")
     imageloader, storyloader, testloader = make_loaders(cfg)
 

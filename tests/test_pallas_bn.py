@@ -10,7 +10,7 @@ import pytest
 from flax import linen as nn
 
 from cpcsv_tpu.ops.batchnorm import PallasBatchNorm
-from cpcsv_tpu.ops.blocks import bn_scale_init, make_batchnorm
+from cpcsv_tpu.ops.blocks import make_batchnorm
 from cpcsv_tpu.ops.pallas.bn import bn_grad_reduce, bn_stats
 
 
@@ -78,8 +78,17 @@ def test_pallas_bn_matches_flax_gradients():
     flax_bn = make_batchnorm(name="bn")
     pallas_bn = make_batchnorm(name="bn", backend="pallas")
     variables = flax_bn.init(jax.random.PRNGKey(0), x, use_running_average=False)
-    # non-trivial scale so dscale/dx paths are exercised
-    variables = jax.tree.map(lambda a: a, variables)
+    # non-trivial scale/bias so the dscale and gamma-weighted dx paths are
+    # exercised: at the init value scale==1, a backward that DROPS the gamma
+    # factor is bit-identical to a correct one and would pass unnoticed
+    p_rng = np.random.default_rng(4)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(p_rng.uniform(0.5, 1.5, a.shape), a.dtype),
+        variables["params"],
+    )
+    assert not any(
+        np.allclose(np.asarray(v), 1.0) for v in jax.tree.leaves(params)
+    )
 
     def loss(mod):
         def f(params, x):
@@ -90,8 +99,8 @@ def test_pallas_bn_matches_flax_gradients():
             return jnp.sum(jnp.sin(y) * y)
         return f
 
-    g1_p, g1_x = jax.grad(loss(flax_bn), argnums=(0, 1))(variables["params"], x)
-    g2_p, g2_x = jax.grad(loss(pallas_bn), argnums=(0, 1))(variables["params"], x)
+    g1_p, g1_x = jax.grad(loss(flax_bn), argnums=(0, 1))(params, x)
+    g2_p, g2_x = jax.grad(loss(pallas_bn), argnums=(0, 1))(params, x)
     np.testing.assert_allclose(np.asarray(g1_x), np.asarray(g2_x), rtol=1e-4, atol=1e-4)
     for a, b in zip(jax.tree.leaves(g1_p), jax.tree.leaves(g2_p)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)

@@ -9,6 +9,14 @@ import pytest
 from cpcsv_tpu.parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
 
 
+def test_virtual_mesh_has_8_cpu_devices():
+    """Guard the conftest jax.config forcing (jax_platforms=cpu +
+    jax_num_cpu_devices=8): if a jax upgrade or the site hook breaks it,
+    fail HERE with a clear message instead of deep in a sharding test."""
+    assert len(jax.devices()) == 8, "conftest 8-device CPU forcing broken"
+    assert jax.devices()[0].platform == "cpu"
+
+
 def test_make_mesh_all_devices():
     mesh = make_mesh()
     assert mesh.devices.size == 8

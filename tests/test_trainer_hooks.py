@@ -10,11 +10,12 @@ import pytest
 from tests.test_e2e_training import make_loaders, tiny_cfg
 
 
-def test_ssim_and_vfid_hooks(tmp_path):
+def test_ssim_and_vfid_hooks(tmp_path, monkeypatch):
     from cpcsv_tpu.train.trainer import GANTrainer
     from cpcsv_tpu.train import create_train_state
+    from tests.test_weights_present import _force_no_weights
 
-    cfg = tiny_cfg(tmp_path, cascade=False)
+    cfg = tiny_cfg(cascade=False)
     out_dir = str(tmp_path / "run")
     loaders = make_loaders(cfg)
     trainer = GANTrainer(cfg, out_dir, seed=0)
@@ -23,13 +24,14 @@ def test_ssim_and_vfid_hooks(tmp_path):
     ssim = trainer.calculate_ssim(state, 0, loaders[2])
     assert -1.0 <= ssim <= 1.0
 
-    os.makedirs(".cache", exist_ok=True)
-    for f in os.listdir(".cache"):
-        if f.startswith(("seg_story_vfid_reference_score", "seg_story_fid_reference_score")):
-            os.remove(os.path.join(".cache", f))
+    # hermetic: the hook writes real-side stats under ./\.cache, and the
+    # random-init assertions below must not see real weights a production
+    # host keeps in ~/.cache/cpcsv_tpu/weights
+    monkeypatch.chdir(tmp_path)
+    _force_no_weights(monkeypatch, tmp_path)
     scores = trainer.calculate_vfid(state, 0, loaders[2])
     assert np.isfinite(scores["fid"]) and np.isfinite(scores["fsd"])
-    # no weights in this sandbox -> results must be marked random-init
+    # no weights findable -> results must be marked random-init
     assert scores["fid_random_init"] is True
     assert scores["fsd_random_init"] is True
     # real-side statistics are cached like the reference (trainer.py:165-169),

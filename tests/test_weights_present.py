@@ -29,6 +29,21 @@ from cpcsv_tpu.evaluation.weights import RandomInitMetricWarning, resolve_weight
 from tests.test_e2e_training import make_loaders, tiny_cfg
 
 
+def _force_no_weights(monkeypatch, tmp_path):
+    """Make resolve_weights deterministically find NOTHING: the env dir is
+    pointed at an empty tmp dir and HOME is redirected so the default
+    ~/.cache/cpcsv_tpu/weights search dir is empty too (on a production
+    host that dir holds real ported weights — tools/port_metric_weights.py
+    tells users to put them there — and a bare delenv would let them leak
+    into these random-init-fallback assertions)."""
+    empty = tmp_path / "no_weights"
+    home = tmp_path / "no_weights_home"
+    empty.mkdir(exist_ok=True)
+    home.mkdir(exist_ok=True)
+    monkeypatch.setenv("CPCSV_METRIC_WEIGHTS_DIR", str(empty))
+    monkeypatch.setenv("HOME", str(home))
+
+
 @pytest.fixture(scope="module")
 def weights_dir(tmp_path_factory):
     """Torch-layout state dicts saved under the registry filenames."""
@@ -51,7 +66,7 @@ def trained_run(tmp_path_factory):
     from cpcsv_tpu.train.trainer import GANTrainer
 
     tmp = tmp_path_factory.mktemp("wp_run")
-    cfg = tiny_cfg(tmp, cascade=False)
+    cfg = tiny_cfg(cascade=False)
     out_dir = str(tmp / "run")
     loaders = make_loaders(cfg, n=16)
     trainer = GANTrainer(cfg, out_dir, seed=0)
@@ -86,7 +101,9 @@ def test_eval_fid2_real_weights_path(weights_dir, trained_run, monkeypatch):
     assert rows[-1][0] == "1"
 
 
-def test_default_embedder_auto_selects_i3d(weights_dir, trained_run, monkeypatch):
+def test_default_embedder_auto_selects_i3d(
+    weights_dir, trained_run, tmp_path, monkeypatch
+):
     """With I3D weights on disk, FVD must run the true-I3D embedder, not the
     FVD-R fallback (reference fvd/frechet_video_distance.py:65 always I3D)."""
     monkeypatch.setenv("CPCSV_METRIC_WEIGHTS_DIR", weights_dir)
@@ -108,8 +125,8 @@ def test_default_embedder_auto_selects_i3d(weights_dir, trained_run, monkeypatch
     )
     assert np.isfinite(fvd) and fvd >= 0
 
-    # and without the env dir the fallback engages (FVD-R, loud warning)
-    monkeypatch.delenv("CPCSV_METRIC_WEIGHTS_DIR")
+    # and with no weights findable the fallback engages (FVD-R, loud warning)
+    _force_no_weights(monkeypatch, tmp_path)
     with pytest.warns(RandomInitMetricWarning):
         emb2 = default_embedder()
     assert emb2.backbone == "r2plus1d"
@@ -135,7 +152,7 @@ def test_fingerprint_cache_blocks_random_init_reuse(
             return rng.uniform(-1, 1, (cfg.VIDEO_LEN, 64, 64, 3)).astype(np.float32)
 
     cache = str(tmp_path / "stats.npz")
-    monkeypatch.delenv("CPCSV_METRIC_WEIGHTS_DIR", raising=False)
+    _force_no_weights(monkeypatch, tmp_path)
     with pytest.warns(RandomInitMetricWarning):
         ex_rand = make_fsd_extractor()
     m_rand, _ = activation_statistics(Stories(), ex_rand, batch_size=2, cache=cache)

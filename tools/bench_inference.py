@@ -26,7 +26,12 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="18,36,72")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (a dead TPU tunnel hangs "
+                         "backend init forever; env vars are too late here)")
     args = ap.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from cpcsv_tpu.models import build_models
     from cpcsv_tpu.train import create_train_state

@@ -259,6 +259,13 @@ def main(argv=None):
             f"{[os.path.basename(m) for m in missing]}); eval walks still work, "
             "and cfg.NET_G can warm-start training from a netG snapshot"
         )
+        if args.completed is not None:
+            print(
+                f"WARNING: --completed {args.completed} had no effect — the "
+                "resume point is recorded with the full train state, which "
+                "needs the discriminator checkpoints above; `--continue_ckpt "
+                "auto` on this run dir will start fresh"
+            )
 
     print(f"imported {len(epochs)} generator snapshot(s) into {out_dir}")
     return out_dir

@@ -28,11 +28,17 @@ import numpy as np
 def capture(trace_dir: str, steps: int, mode: str = "split"):
     from cpcsv_tpu.models import build_models
     from cpcsv_tpu.train import create_train_state, make_train_steps
-    from cpcsv_tpu.utils.benchutil import bench_config, synthetic_batches
+    from cpcsv_tpu.utils.benchutil import bench_config, shrink_for_cpu, synthetic_batches
 
     on_tpu = jax.devices()[0].platform == "tpu"
     cfg = bench_config(on_tpu)
-    B_st, B_im = 18, 90
+    if on_tpu:
+        B_st, B_im = 18, 90
+    else:
+        # off-TPU this is a smoke run: full final.yml scale at batch 18/90
+        # is a multi-minute compile on the 1-core host
+        cfg = shrink_for_cpu(cfg)
+        B_st, B_im = 2, 4
     models = build_models(cfg)
     state = create_train_state(cfg, jax.random.PRNGKey(0), models)
 
@@ -62,7 +68,12 @@ def capture(trace_dir: str, steps: int, mode: str = "split"):
 
         def one_step(state, key):
             k1, k2 = jax.random.split(key)
-            state, _ = d_step(state, k1, st_batch, im_batch, 4e-4)
+            state, dm = d_step(state, k1, st_batch, im_batch, 4e-4)
+            # readback BETWEEN the two dispatches: two big enqueues with no
+            # host readback in between serialize pathologically on the
+            # tunnel (+400 ms each, CLAUDE.md) and would pollute the trace
+            # with an artifact the production split loop doesn't have
+            _ = float(np.asarray(dm["img_D/loss"]))
             state, m = g_step(state, k2, st_batch, im_batch, 1e-4)
             return state, m
 
@@ -167,7 +178,12 @@ def main():
     ap.add_argument("--categories", action="store_true",
                     help="aggregate by op-name category instead of per-op")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (a dead TPU tunnel hangs "
+                         "backend init forever; env vars are too late here)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     if args.analyze_only:
         if args.categories:
