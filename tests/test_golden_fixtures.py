@@ -76,3 +76,55 @@ def test_npz_state_dict_roundtrip(tmp_path):
     assert set(back) == set(sd)
     for k in sd:
         np.testing.assert_array_equal(back[k], sd[k])
+
+
+def test_port_metric_weights_cli_roundtrip(tmp_path, monkeypatch):
+    """Drive tools/port_metric_weights.py end-to-end on fabricated .pth
+    files: its outputs must land on FIRST-priority registry filenames that
+    resolve_weights finds, and load_state_dict must read back the exact
+    torch tensors (incl. a {'state_dict': ...} wrapper and int buffers
+    like num_batches_tracked)."""
+    import sys
+    import torch
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.port_metric_weights import main as port_main
+
+    from cpcsv_tpu.evaluation.weights import load_state_dict, resolve_weights
+
+    sds = {
+        "inception": {
+            "conv.weight": torch.arange(12, dtype=torch.float32).reshape(3, 4),
+            "bn.num_batches_tracked": torch.tensor(7),
+        },
+        "r2plus1d": {"fc.bias": torch.ones(5)},
+        "i3d": {"stem.weight": torch.full((2, 2), 0.5)},
+    }
+    paths = {}
+    for name, sd in sds.items():
+        p = str(tmp_path / f"{name}.pth")
+        # one checkpoint exercises the {'state_dict': ...} wrapper branch
+        torch.save({"state_dict": sd} if name == "i3d" else sd, p)
+        paths[name] = p
+
+    out = str(tmp_path / "weights")
+    port_main([
+        "--inception", paths["inception"],
+        "--r2plus1d", paths["r2plus1d"],
+        "--i3d", paths["i3d"],
+        "--out", out,
+    ])
+
+    monkeypatch.setenv("CPCSV_METRIC_WEIGHTS_DIR", out)
+    for reg_name, sd in [
+        ("inception_fid", sds["inception"]),
+        ("r2plus1d_18", sds["r2plus1d"]),
+        ("i3d_kinetics400", sds["i3d"]),
+    ]:
+        resolved = resolve_weights(reg_name)
+        assert resolved is not None and resolved.startswith(out), reg_name
+        assert resolved.endswith(".npz"), "porter output must win the registry"
+        back = load_state_dict(resolved)
+        assert set(back) == set(sd)
+        for k, v in sd.items():
+            np.testing.assert_array_equal(back[k], v.numpy())
