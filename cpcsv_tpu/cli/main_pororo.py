@@ -1,8 +1,8 @@
 """Pororo CLI — same flag surface as reference `main_pororo.py:29-43`:
 
   python -m cpcsv_tpu.cli.main_pororo --cfg cfg.yml [--load_ckpt N |
-      --eval_fid 1 | --eval_fvd 1 | --continue_ckpt N] [--debug]
-      [--data_dir D] [--manualSeed S]
+      --eval_fid 1 | --eval_fvd 1 | --eval_is 1 | --continue_ckpt N]
+      [--debug] [--data_dir D] [--manualSeed S]
 
 Extension: `--synthetic N` trains on the in-memory synthetic dataset (same
 schema) when no Pororo data is on disk — the dataless end-to-end slice.
@@ -37,6 +37,10 @@ def parse_args(argv=None):
     parser.add_argument("--eval_fid", type=_str2bool, nargs="?", const=True,
                         default=False)
     parser.add_argument("--eval_fvd", type=_str2bool, nargs="?", const=True,
+                        default=False)
+    # extension: Inception Score checkpoint walk (the reference ships
+    # fid/inception_score.py but never wires it to a CLI)
+    parser.add_argument("--eval_is", type=_str2bool, nargs="?", const=True,
                         default=False)
     parser.add_argument("--manualSeed", type=int, default=0)
     parser.add_argument("--synthetic", type=int, default=0,
@@ -110,6 +114,10 @@ def main(argv=None):
         from cpcsv_tpu.evaluation.drivers import Infer
 
         Infer(cfg, output_dir).eval_fvd(testloader)
+    elif args.eval_is:
+        from cpcsv_tpu.evaluation.drivers import Infer
+
+        Infer(cfg, output_dir).eval_is(testloader)
     elif args.load_ckpt is not None:
         from cpcsv_tpu.evaluation.drivers import Infer
 

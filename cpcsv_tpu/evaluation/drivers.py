@@ -239,6 +239,48 @@ class Infer:
             print(f"epoch {epoch}: fid={fid:.3f} vfid/fsd={fsd:.3f}{tag}")
         return results
 
+    def eval_is(self, testloader, epochs: Optional[list[int]] = None,
+                batch_size: int = 32, splits: int = 10):
+        """Per-checkpoint Inception Score over regenerated story frames.
+        Goes beyond the reference, which ships the IS implementation
+        (fid/inception_score.py:10-68) but never wires it to a driver;
+        this walks checkpoints exactly like eval_fid2 and appends
+        [epoch, mean, std] rows to is_score.csv."""
+        from cpcsv_tpu.evaluation.inception import make_inception_classifier
+        from cpcsv_tpu.evaluation.inception_score import inception_score
+
+        epochs = epochs or sorted(self.ckpt.available_generator_epochs(), reverse=True)
+        if not epochs:
+            raise FileNotFoundError(
+                f"eval_is: no generator checkpoints under {self.model_dir} — "
+                "wrong output dir, or training never saved a snapshot"
+            )
+        csv_path = os.path.join(self.eval_dir, "is_score.csv")
+        # ONE classifier for the whole walk (same hoisting as eval_fid2)
+        classifier = make_inception_classifier(self.fid_weights)
+        results = []
+        for epoch in epochs:
+            self.load_epoch(epoch)
+            _, gen_dir = self.generate_story(testloader, f"epoch_{epoch}")
+            # FolderImageDataset yields [-1,1]; the classifier wants [0,1]
+            mean, std = inception_score(
+                FolderImageDataset(gen_dir, self.cfg.IMSIZE), classifier,
+                batch_size=batch_size, splits=splits, normalize=True,
+            )
+            with open(csv_path, "a", newline="") as f:
+                csv.writer(f).writerow([epoch, mean, std])
+            results.append(
+                {
+                    "epoch": epoch,
+                    "is_mean": mean,
+                    "is_std": std,
+                    "is_random_init": classifier.random_init,
+                }
+            )
+            tag = " [RANDOM-INIT classifier!]" if classifier.random_init else ""
+            print(f"epoch {epoch}: IS={mean:.3f}+-{std:.3f}{tag}")
+        return results
+
     def eval_fvd(self, storyloader, epochs: Optional[list[int]] = None,
                  num_of_video: int = 272):
         """Per-checkpoint FVD (reference inference.py:128-141)."""

@@ -28,13 +28,18 @@ def inception_score_from_probs(probs: np.ndarray, splits: int = 10):
     return float(np.mean(scores)), float(np.std(scores))
 
 
-def inception_score(dataset, classifier, batch_size: int = 32, splits: int = 10):
-    """classifier: jitted fn (N,H,W,3)->(N,C) logits."""
+def inception_score(dataset, classifier, batch_size: int = 32, splits: int = 10,
+                    normalize: bool = False):
+    """classifier: jitted fn (N,H,W,3)->(N,C) logits.
+    normalize: shift [-1,1] images -> the [0,1] the classifier expects
+    (same flag as features.extract_activations)."""
     import jax.numpy as jnp
     from cpcsv_tpu.evaluation.features import iter_batches
 
     probs = []
     for batch in iter_batches(dataset, batch_size, drop_last=False):
+        if normalize:
+            batch = (batch + 1.0) / 2.0
         logits = np.asarray(classifier(jnp.asarray(batch.astype(np.float32))))
         e = np.exp(logits - logits.max(axis=1, keepdims=True))
         probs.append(e / e.sum(axis=1, keepdims=True))

@@ -60,6 +60,16 @@ def test_pororo_cli_train_and_auto_resume(cli_cwd):
     with open(os.path.join(model_dir, "last_epoch.txt")) as f:
         assert f.read().strip() == "1"
 
+    # --eval_is checkpoint walk over the run just trained (CLI extension;
+    # the reference never wires its fid/inception_score.py to a driver)
+    main(["--cfg", cli_cwd, "--synthetic", "8", "--eval_is", "--debug"])
+    with open(os.path.join("output", "debug", "Evaluation", "cli_e2e",
+                           "is_score.csv")) as f:
+        rows = [r.split(",") for r in f.read().strip().splitlines()]
+    # newest-first walk over epochs 0..2; every row is [epoch, mean, std]
+    assert [r[0] for r in rows] == ["2", "1", "0"]
+    assert all(float(r[1]) >= 1.0 for r in rows)
+
 
 def test_clevr_cli_smoke(cli_cwd):
     """CLEVR CLI: 4-frame stories via the same dispatch (reference

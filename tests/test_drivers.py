@@ -58,3 +58,19 @@ def test_infer_numbered_png_dump(trained_run):
     ref_pngs = [f for f in os.listdir(ref_dir) if f.endswith(".png")]
     assert len(gen_pngs) == len(ref_pngs) > 0
     assert "1.png" in gen_pngs  # numbered protocol (miscc/utils.py:402-428)
+
+
+def test_infer_eval_is_csv(trained_run):
+    """--eval_is walk (extension beyond the reference, which ships
+    fid/inception_score.py unwired): CSV row written, result tagged with
+    the classifier's random-init status."""
+    cfg, out_dir, (_, _, testloader) = trained_run
+    infer = Infer(cfg, out_dir)
+    results = infer.eval_is(testloader, epochs=[1], batch_size=8, splits=2)
+    assert len(results) == 1
+    assert np.isfinite(results[0]["is_mean"]) and results[0]["is_mean"] >= 1.0
+    assert np.isfinite(results[0]["is_std"])
+    assert results[0]["is_random_init"] in (True, False)
+    csv_path = os.path.join(infer.eval_dir, "is_score.csv")
+    rows = list(csv.reader(open(csv_path)))
+    assert rows[-1][0] == "1" and float(rows[-1][1]) == results[0]["is_mean"]
