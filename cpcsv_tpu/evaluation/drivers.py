@@ -143,22 +143,41 @@ class Infer:
         return np.asarray(image), (np.asarray(mask) if mask is not None else None)
 
     # ------------------------------------------------------------------
-    def generate_story(self, storyloader, dirname: str = ""):
-        """original/ + generate/ folder trees (reference inference.py:147-199)."""
+    def generate_story(self, storyloader, dirname: str = "",
+                       skip_original: bool = False):
+        """original/ + generate/ folder trees (reference inference.py:147-199).
+
+        Deviation from the reference (which appends into whatever is on
+        disk, same as inference_samples below): both trees are cleared
+        first. A previous walk with a LARGER loader would otherwise leave
+        stale story dirs that FolderStoryDataset/FolderImageDataset glob
+        right back into the next FID/FSD/IS — silently mixing two
+        generations into one score.
+
+        skip_original: don't dump the real-frame tree (eval_is only reads
+        generated frames; re-encoding identical real pngs per checkpoint
+        is pure waste)."""
+        import shutil
+
         orig_dir = os.path.join(self.eval_dir, dirname, "original")
         gen_dir = os.path.join(self.eval_dir, dirname, "generate")
+        for d in (orig_dir, gen_dir):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
         story_id = 0
         for batch in storyloader:
             fake, _ = self.sample_videos_np(batch)
             real = np.asarray(batch["images"], np.float32)
             for b in range(fake.shape[0]):
-                od = os.path.join(orig_dir, str(story_id))
                 gd = os.path.join(gen_dir, str(story_id))
-                os.makedirs(od, exist_ok=True)
                 os.makedirs(gd, exist_ok=True)
                 for t in range(fake.shape[1]):
-                    save_png(real[b, t], os.path.join(od, f"{t}.png"))
                     save_png(fake[b, t], os.path.join(gd, f"{t}.png"))
+                if not skip_original:
+                    od = os.path.join(orig_dir, str(story_id))
+                    os.makedirs(od, exist_ok=True)
+                    for t in range(fake.shape[1]):
+                        save_png(real[b, t], os.path.join(od, f"{t}.png"))
                 story_id += 1
         return orig_dir, gen_dir
 
@@ -261,7 +280,11 @@ class Infer:
         results = []
         for epoch in epochs:
             self.load_epoch(epoch)
-            _, gen_dir = self.generate_story(testloader, f"epoch_{epoch}")
+            # own dir (is_epoch_*): a shared epoch_* dir would delete the
+            # original/ tree an earlier eval_fid2 walk left there
+            _, gen_dir = self.generate_story(
+                testloader, f"is_epoch_{epoch}", skip_original=True
+            )
             # FolderImageDataset yields [-1,1]; the classifier wants [0,1]
             mean, std = inception_score(
                 FolderImageDataset(gen_dir, self.cfg.IMSIZE), classifier,

@@ -56,6 +56,33 @@ def bench_config(on_tpu: bool) -> Config:
     return apply_env_overrides(cfg)
 
 
+def add_cpu_flag(parser) -> None:
+    """Shared --cpu argparse flag for the standalone perf tools."""
+    parser.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (a dead TPU tunnel hangs backend init "
+             "forever; env vars are too late here)",
+    )
+
+
+def bench_setup(force_cpu: bool = False):
+    """The perf tools' shared platform/config/batch pick: force CPU on
+    request (BEFORE the first backend touch), detect TPU, and off-TPU
+    shrink to the smoke shapes so the 1-core host never pays a
+    final.yml-scale compile. Returns (cfg, b_st, b_im, on_tpu); bench.py
+    keeps its own flow for the watchdog + baseline bookkeeping."""
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    on_tpu = jax.devices()[0].platform == "tpu"
+    cfg = bench_config(on_tpu)
+    if on_tpu:
+        b_st, b_im = 18, 90
+    else:
+        cfg = shrink_for_cpu(cfg)
+        b_st, b_im = 2, 4
+    return cfg, b_st, b_im, on_tpu
+
+
 def shrink_for_cpu(cfg: Config) -> Config:
     """Tiny GAN dims for CPU smoke runs of the perf tools — the full
     final.yml-scale model is a multi-minute compile on the 1-core host.

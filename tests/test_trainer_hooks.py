@@ -13,7 +13,7 @@ from tests.test_e2e_training import make_loaders, tiny_cfg
 def test_ssim_and_vfid_hooks(tmp_path, monkeypatch):
     from cpcsv_tpu.train.trainer import GANTrainer
     from cpcsv_tpu.train import create_train_state
-    from tests.test_weights_present import _force_no_weights
+    from tests.conftest import force_no_weights as _force_no_weights
 
     cfg = tiny_cfg(cascade=False)
     out_dir = str(tmp_path / "run")

@@ -29,19 +29,7 @@ from cpcsv_tpu.evaluation.weights import RandomInitMetricWarning, resolve_weight
 from tests.test_e2e_training import make_loaders, tiny_cfg
 
 
-def _force_no_weights(monkeypatch, tmp_path):
-    """Make resolve_weights deterministically find NOTHING: the env dir is
-    pointed at an empty tmp dir and HOME is redirected so the default
-    ~/.cache/cpcsv_tpu/weights search dir is empty too (on a production
-    host that dir holds real ported weights — tools/port_metric_weights.py
-    tells users to put them there — and a bare delenv would let them leak
-    into these random-init-fallback assertions)."""
-    empty = tmp_path / "no_weights"
-    home = tmp_path / "no_weights_home"
-    empty.mkdir(exist_ok=True)
-    home.mkdir(exist_ok=True)
-    monkeypatch.setenv("CPCSV_METRIC_WEIGHTS_DIR", str(empty))
-    monkeypatch.setenv("HOME", str(home))
+from tests.conftest import force_no_weights as _force_no_weights  # noqa: E402
 
 
 @pytest.fixture(scope="module")

@@ -23,28 +23,20 @@ import numpy as np
 
 
 def main(argv=None):
+    from cpcsv_tpu.utils.benchutil import add_cpu_flag
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="18,36,72")
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--cpu", action="store_true",
-                    help="force the CPU backend (a dead TPU tunnel hangs "
-                         "backend init forever; env vars are too late here)")
+    add_cpu_flag(ap)
     args = ap.parse_args(argv)
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
 
     from cpcsv_tpu.models import build_models
     from cpcsv_tpu.train import create_train_state
-    from cpcsv_tpu.utils.benchutil import bench_config, synthetic_batches
+    from cpcsv_tpu.utils.benchutil import bench_setup, synthetic_batches
 
-    on_tpu = jax.devices()[0].platform == "tpu"
-    cfg = bench_config(on_tpu)
-    if not on_tpu:
-        # same shared shrink as bench.py: the CPU smoke test otherwise pays
-        # a full final.yml-scale compile on the 1-core host
-        from cpcsv_tpu.utils.benchutil import shrink_for_cpu
-
-        cfg = shrink_for_cpu(cfg)
+    # batch sizes come from --batches; bench_setup only picks platform/cfg
+    cfg, _, _, on_tpu = bench_setup(force_cpu=args.cpu)
     models = build_models(cfg)
     net_g = models[0]
     state = create_train_state(cfg, jax.random.PRNGKey(0), models)

@@ -30,29 +30,18 @@ def _readback(x) -> float:
 
 
 def main():
+    from cpcsv_tpu.utils.benchutil import add_cpu_flag
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--cpu", action="store_true",
-                    help="force the CPU backend (a dead TPU tunnel hangs "
-                         "backend init forever; env vars are too late here)")
+    add_cpu_flag(ap)
     args = ap.parse_args()
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
 
     from cpcsv_tpu.models import build_models
     from cpcsv_tpu.train import create_train_state, make_train_steps
-    from cpcsv_tpu.utils.benchutil import bench_config, shrink_for_cpu, synthetic_batches
+    from cpcsv_tpu.utils.benchutil import bench_setup, synthetic_batches
 
-    on_tpu = jax.devices()[0].platform == "tpu"
-    cfg = bench_config(on_tpu)
-    if on_tpu:
-        B_st, B_im = 18, 90
-    else:
-        # off-TPU this is a smoke run: full final.yml scale at batch 18/90
-        # is a multi-minute compile on the 1-core host (bench.py shrinks the
-        # same way)
-        cfg = shrink_for_cpu(cfg)
-        B_st, B_im = 2, 4
+    cfg, B_st, B_im, on_tpu = bench_setup(force_cpu=args.cpu)
     T = cfg.VIDEO_LEN
     models = build_models(cfg)
     net_g = models[0]

@@ -28,17 +28,9 @@ import numpy as np
 def capture(trace_dir: str, steps: int, mode: str = "split"):
     from cpcsv_tpu.models import build_models
     from cpcsv_tpu.train import create_train_state, make_train_steps
-    from cpcsv_tpu.utils.benchutil import bench_config, shrink_for_cpu, synthetic_batches
+    from cpcsv_tpu.utils.benchutil import bench_setup, synthetic_batches
 
-    on_tpu = jax.devices()[0].platform == "tpu"
-    cfg = bench_config(on_tpu)
-    if on_tpu:
-        B_st, B_im = 18, 90
-    else:
-        # off-TPU this is a smoke run: full final.yml scale at batch 18/90
-        # is a multi-minute compile on the 1-core host
-        cfg = shrink_for_cpu(cfg)
-        B_st, B_im = 2, 4
+    cfg, B_st, B_im, _ = bench_setup()
     models = build_models(cfg)
     state = create_train_state(cfg, jax.random.PRNGKey(0), models)
 
@@ -178,9 +170,9 @@ def main():
     ap.add_argument("--categories", action="store_true",
                     help="aggregate by op-name category instead of per-op")
     ap.add_argument("--top", type=int, default=40)
-    ap.add_argument("--cpu", action="store_true",
-                    help="force the CPU backend (a dead TPU tunnel hangs "
-                         "backend init forever; env vars are too late here)")
+    from cpcsv_tpu.utils.benchutil import add_cpu_flag
+
+    add_cpu_flag(ap)
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
