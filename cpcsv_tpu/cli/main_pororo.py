@@ -1,7 +1,8 @@
 """Pororo CLI — same flag surface as reference `main_pororo.py:29-43`:
 
   python -m cpcsv_tpu.cli.main_pororo --cfg cfg.yml [--load_ckpt N |
-      --eval_fid 1 | --eval_fvd 1 | --eval_is 1 | --continue_ckpt N]
+      --eval_fid 1 | --eval_fvd 1 | --eval_is 1 | --eval_ssim 1 |
+      --continue_ckpt N]
       [--debug] [--data_dir D] [--manualSeed S]
 
 Extension: `--synthetic N` trains on the in-memory synthetic dataset (same
@@ -41,6 +42,10 @@ def parse_args(argv=None):
     # extension: Inception Score checkpoint walk (the reference ships
     # fid/inception_score.py but never wires it to a CLI)
     parser.add_argument("--eval_is", type=_str2bool, nargs="?", const=True,
+                        default=False)
+    # extension: SSIM checkpoint walk (the reference ships ssim_score.py
+    # but leaves its in-train call disabled and wires no offline driver)
+    parser.add_argument("--eval_ssim", type=_str2bool, nargs="?", const=True,
                         default=False)
     parser.add_argument("--manualSeed", type=int, default=0)
     parser.add_argument("--synthetic", type=int, default=0,
@@ -118,6 +123,10 @@ def main(argv=None):
         from cpcsv_tpu.evaluation.drivers import Infer
 
         Infer(cfg, output_dir).eval_is(testloader)
+    elif args.eval_ssim:
+        from cpcsv_tpu.evaluation.drivers import Infer
+
+        Infer(cfg, output_dir).eval_ssim_walk(testloader)
     elif args.load_ckpt is not None:
         from cpcsv_tpu.evaluation.drivers import Infer
 

@@ -122,7 +122,14 @@ class Infer:
                 "train_state_last — per-epoch eval scores may be distorted."
             )
             state = self.ckpt.restore(self._template)
-            self._gen_vars = {**state.gen.variables(), "params": params}
+            # normalize placement: the two restores can come back on
+            # DIFFERENT device sets (orbax re-applies each checkpoint's
+            # recorded sharding — e.g. mesh-sharded train state vs
+            # single-device legacy snapshot), and one jitted call cannot
+            # mix them. Host arrays let jit place everything uniformly.
+            self._gen_vars = jax.tree.map(
+                np.asarray, {**state.gen.variables(), "params": params}
+            )
         return self._gen_vars
 
     def _require_vars(self):
@@ -373,6 +380,30 @@ class Infer:
         )
         n = n or len(ds)
         return ssim_score(ds[i] for i in range(n))
+
+    def eval_ssim_walk(self, testloader, epochs: Optional[list[int]] = None,
+                       n: Optional[int] = None):
+        """Per-checkpoint SSIM walk. Goes beyond the reference, which ships
+        the SSIM scorer (ssim_score.py:13-28) but leaves its in-train call
+        disabled (trainer.py:176-185,472) and wires no offline driver; this
+        walks checkpoints exactly like eval_fid2/eval_is and appends
+        [epoch, ssim] rows to ssim_score.csv."""
+        epochs = epochs or sorted(self.ckpt.available_generator_epochs(), reverse=True)
+        if not epochs:
+            raise FileNotFoundError(
+                f"eval_ssim: no generator checkpoints under {self.model_dir} — "
+                "wrong output dir, or training never saved a snapshot"
+            )
+        csv_path = os.path.join(self.eval_dir, "ssim_score.csv")
+        results = []
+        for epoch in epochs:
+            self.load_epoch(epoch)
+            val = self.eval_ssim(testloader.dataset, n=n)
+            with open(csv_path, "a", newline="") as f:
+                csv.writer(f).writerow([epoch, val])
+            results.append({"epoch": epoch, "ssim": val})
+            print(f"epoch {epoch}: ssim={val:.4f}")
+        return results
 
 
 # --------------------------------------------------------------------------

@@ -70,6 +70,15 @@ def test_pororo_cli_train_and_auto_resume(cli_cwd):
     assert [r[0] for r in rows] == ["2", "1", "0"]
     assert all(float(r[1]) >= 1.0 for r in rows)
 
+    # --eval_ssim checkpoint walk (CLI extension; the reference ships
+    # ssim_score.py but leaves its in-train call disabled)
+    main(["--cfg", cli_cwd, "--synthetic", "8", "--eval_ssim", "--debug"])
+    with open(os.path.join("output", "debug", "Evaluation", "cli_e2e",
+                           "ssim_score.csv")) as f:
+        rows = [r.split(",") for r in f.read().strip().splitlines()]
+    assert [r[0] for r in rows] == ["2", "1", "0"]
+    assert all(-1.0 <= float(r[1]) <= 1.0 for r in rows)
+
 
 def test_clevr_cli_smoke(cli_cwd):
     """CLEVR CLI: 4-frame stories via the same dispatch (reference

@@ -60,6 +60,59 @@ def test_infer_numbered_png_dump(trained_run):
     assert "1.png" in gen_pngs  # numbered protocol (miscc/utils.py:402-428)
 
 
+def test_infer_eval_ssim_walk_csv(trained_run):
+    """--eval_ssim walk (extension: the reference ships ssim_score.py but
+    leaves its in-train call disabled and wires no offline driver): CSV row
+    written, SSIM finite and in [-1, 1]."""
+    cfg, out_dir, (_, _, testloader) = trained_run
+    infer = Infer(cfg, out_dir)
+    results = infer.eval_ssim_walk(testloader, epochs=[1], n=4)
+    assert len(results) == 1
+    val = results[0]["ssim"]
+    assert np.isfinite(val) and -1.0 <= val <= 1.0
+    csv_path = os.path.join(infer.eval_dir, "ssim_score.csv")
+    rows = list(csv.reader(open(csv_path)))
+    assert rows[-1][0] == "1" and float(rows[-1][1]) == val
+
+
+def test_infer_load_epoch_legacy_params_only_snapshot(trained_run):
+    """Round-1-format snapshots stored ONLY the params pytree. load_epoch
+    must fall back to the legacy reader (drivers.load_epoch except-branch),
+    warn that BN statistics are borrowed from train_state_last, and still
+    yield a usable sampler."""
+    cfg, out_dir, (_, _, testloader) = trained_run
+    infer = Infer(cfg, out_dir)
+    # fabricate a legacy snapshot: bare params tree, no batch_stats/spectral
+    infer.ckpt._ckptr.save(
+        infer.ckpt._path("netG_epoch_97"), infer._template.gen.params
+    )
+    with pytest.warns(UserWarning, match="legacy params-only"):
+        infer.load_epoch(97)
+    batch = next(iter(testloader))
+    fake, _ = infer.sample_videos_np(batch)
+    assert fake.shape[1] == cfg.VIDEO_LEN and np.all(np.isfinite(fake))
+
+
+def test_generate_story_clears_stale_trees(trained_run):
+    """A previous walk with a LARGER loader must not leak story dirs into
+    the next score (documented deviation in generate_story: both trees are
+    cleared first; the reference appends into whatever is on disk)."""
+    cfg, out_dir, (_, _, testloader) = trained_run
+    infer = Infer(cfg, out_dir, load_ckpt=1)
+    _, gen_dir = infer.generate_story(testloader, "stale")
+    n = len(os.listdir(gen_dir))
+    # plant an extra story dir, as an earlier larger walk would leave behind
+    stale = os.path.join(gen_dir, str(n + 5))
+    os.makedirs(stale)
+    with open(os.path.join(stale, "0.png"), "wb") as f:
+        f.write(b"not a real frame")
+    orig2, gen2 = infer.generate_story(testloader, "stale")
+    assert not os.path.exists(stale)
+    assert sorted(os.listdir(gen2)) == sorted(str(i) for i in range(n))
+    # original tree was rebuilt too (not skipped, not stale)
+    assert sorted(os.listdir(orig2)) == sorted(os.listdir(gen2))
+
+
 def test_infer_eval_is_csv(trained_run):
     """--eval_is walk (extension beyond the reference, which ships
     fid/inception_score.py unwired): CSV row written, result tagged with
