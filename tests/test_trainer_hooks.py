@@ -43,3 +43,25 @@ def test_ssim_and_vfid_hooks(tmp_path, monkeypatch):
         and f.endswith(".random-init.npz")
     ]
     assert cached, "tagged real-side FSD stats cache was not written"
+
+
+def test_net_g_warm_start(tmp_path):
+    """cfg.NET_G preloads generator weights from a snapshot dir before
+    training (reference trainer.py:109-114). The donor snapshot comes from a
+    DIFFERENT run: the restored leaves carry that checkpoint's recorded
+    sharding, and the warm-started step must still jit (mixed-placement
+    regression guard, same class as drivers.load_epoch's legacy branch)."""
+    from cpcsv_tpu.train.trainer import GANTrainer
+
+    cfg = tiny_cfg(cascade=False)
+    donor_dir = str(tmp_path / "donor")
+    loaders = make_loaders(cfg)
+    GANTrainer(cfg, donor_dir, seed=0).train(*loaders)
+    donor_snap = os.path.join(donor_dir, "Model", "netG_epoch_1")
+    assert os.path.isdir(donor_snap)
+
+    warm_cfg = cfg.with_updates(NET_G=donor_snap)
+    warm_dir = str(tmp_path / "warm")
+    trainer = GANTrainer(warm_cfg, warm_dir, seed=1)
+    trainer.train(*make_loaders(warm_cfg))
+    assert os.path.isdir(os.path.join(warm_dir, "Model", "netG_epoch_1"))
