@@ -1,0 +1,59 @@
+"""Shared CLI dispatch: eval walks / load_ckpt inference / training.
+
+Both CLIs end in the same mutually-exclusive branch ladder (reference
+`main_pororo.py:152-171` and `main_clevr.py:124-139`); the reference
+duplicates it per entry point, we share it. Order matches the reference:
+eval flags win over --load_ckpt, which wins over training. The --eval_is /
+--eval_ssim branches are extensions (the reference ships
+fid/inception_score.py and ssim_score.py but wires neither to a CLI).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def dispatch(cfg, args, output_dir, imageloader, storyloader, testloader):
+    if args.eval_fid:
+        from cpcsv_tpu.evaluation.drivers import Infer
+
+        Infer(cfg, output_dir).eval_fid2(testloader)
+    elif args.eval_fvd:
+        from cpcsv_tpu.evaluation.drivers import Infer
+
+        Infer(cfg, output_dir).eval_fvd(testloader)
+    elif args.eval_is:
+        from cpcsv_tpu.evaluation.drivers import Infer
+
+        Infer(cfg, output_dir).eval_is(testloader)
+    elif args.eval_ssim:
+        from cpcsv_tpu.evaluation.drivers import Infer
+
+        Infer(cfg, output_dir).eval_ssim_walk(testloader)
+    elif args.load_ckpt is not None:
+        from cpcsv_tpu.evaluation.drivers import Infer
+
+        infer = Infer(cfg, output_dir, load_ckpt=args.load_ckpt)
+        infer.inference_samples(
+            testloader, os.path.join(output_dir, "Evaluation", "samples")
+        )
+    else:
+        from cpcsv_tpu.train.trainer import GANTrainer
+
+        trainer = GANTrainer(
+            cfg, output_dir, cfg_file=args.cfg_file,
+            continue_ckpt=args.continue_ckpt, seed=args.manualSeed,
+        )
+        trainer.train(imageloader, storyloader, testloader)
+
+
+def add_eval_flags(parser):
+    """The four eval-walk flags, shared verbatim by both CLIs (reference
+    main_pororo.py:39-40 / main_clevr.py:49-50 use the broken argparse
+    type=bool; _str2bool is the documented fix)."""
+    from cpcsv_tpu.cli.main_pororo import _str2bool
+
+    for flag in ("--eval_fid", "--eval_fvd", "--eval_is", "--eval_ssim"):
+        parser.add_argument(flag, type=_str2bool, nargs="?", const=True,
+                            default=False)
+    return parser

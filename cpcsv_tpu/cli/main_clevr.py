@@ -17,11 +17,12 @@ def parse_args(argv=None):
     parser.add_argument("--continue_ckpt", default=None, type=str)
     parser.add_argument("--data_dir", dest="data_dir", type=str, default="")
     # real boolean parsing (documented deviation from the reference's
-    # broken argparse type=bool; see main_pororo._str2bool)
-    from cpcsv_tpu.cli.main_pororo import _str2bool
+    # broken argparse type=bool; see main_pororo._str2bool). Same eval
+    # surface as the Pororo CLI: --eval_fid/--eval_fvd per reference
+    # main_clevr.py:49-50, --eval_is/--eval_ssim as extensions.
+    from cpcsv_tpu.cli.dispatch import add_eval_flags
 
-    parser.add_argument("--eval_fid", type=_str2bool, nargs="?", const=True,
-                        default=False)
+    add_eval_flags(parser)
     parser.add_argument("--manualSeed", type=int, default=0)
     parser.add_argument("--synthetic", type=int, default=0,
                         help="train on N synthetic samples instead of DATA_DIR")
@@ -85,16 +86,9 @@ def main(argv=None):
     testloader = DataLoader(test, st_bs, shuffle=False, drop_last=True,
                             seed=args.manualSeed + 2, process_index=pi, process_count=pc)
 
-    if args.eval_fid:
-        from cpcsv_tpu.evaluation.drivers import Infer
+    from cpcsv_tpu.cli.dispatch import dispatch
 
-        Infer(cfg, output_dir).eval_fid2(testloader)
-    else:
-        from cpcsv_tpu.train.trainer import GANTrainer
-
-        trainer = GANTrainer(cfg, output_dir, cfg_file=args.cfg_file,
-                             continue_ckpt=args.continue_ckpt, seed=args.manualSeed)
-        trainer.train(imageloader, storyloader, testloader)
+    dispatch(cfg, args, output_dir, imageloader, storyloader, testloader)
 
 
 if __name__ == "__main__":

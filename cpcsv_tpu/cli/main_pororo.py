@@ -35,18 +35,11 @@ def parse_args(argv=None):
     # The reference uses argparse type=bool here (main_pororo.py:39-40), so
     # `--eval_fid 0` evaluates truthy — a footgun, not a feature. Fixed
     # (documented deviation): 0/1/true/false parse as real booleans.
-    parser.add_argument("--eval_fid", type=_str2bool, nargs="?", const=True,
-                        default=False)
-    parser.add_argument("--eval_fvd", type=_str2bool, nargs="?", const=True,
-                        default=False)
-    # extension: Inception Score checkpoint walk (the reference ships
-    # fid/inception_score.py but never wires it to a CLI)
-    parser.add_argument("--eval_is", type=_str2bool, nargs="?", const=True,
-                        default=False)
-    # extension: SSIM checkpoint walk (the reference ships ssim_score.py
-    # but leaves its in-train call disabled and wires no offline driver)
-    parser.add_argument("--eval_ssim", type=_str2bool, nargs="?", const=True,
-                        default=False)
+    # --eval_is / --eval_ssim are extensions (the reference ships the metric
+    # files but wires neither to a CLI).
+    from cpcsv_tpu.cli.dispatch import add_eval_flags
+
+    add_eval_flags(parser)
     parser.add_argument("--manualSeed", type=int, default=0)
     parser.add_argument("--synthetic", type=int, default=0,
                         help="train on N synthetic samples instead of DATA_DIR")
@@ -111,37 +104,9 @@ def main(argv=None):
 
         imageloader, storyloader, testloader = build_pororo_loaders(cfg, args.manualSeed)
 
-    if args.eval_fid:
-        from cpcsv_tpu.evaluation.drivers import Infer
+    from cpcsv_tpu.cli.dispatch import dispatch
 
-        Infer(cfg, output_dir).eval_fid2(testloader)
-    elif args.eval_fvd:
-        from cpcsv_tpu.evaluation.drivers import Infer
-
-        Infer(cfg, output_dir).eval_fvd(testloader)
-    elif args.eval_is:
-        from cpcsv_tpu.evaluation.drivers import Infer
-
-        Infer(cfg, output_dir).eval_is(testloader)
-    elif args.eval_ssim:
-        from cpcsv_tpu.evaluation.drivers import Infer
-
-        Infer(cfg, output_dir).eval_ssim_walk(testloader)
-    elif args.load_ckpt is not None:
-        from cpcsv_tpu.evaluation.drivers import Infer
-
-        infer = Infer(cfg, output_dir, load_ckpt=args.load_ckpt)
-        infer.inference_samples(
-            testloader, os.path.join(output_dir, "Evaluation", "samples")
-        )
-    else:
-        from cpcsv_tpu.train.trainer import GANTrainer
-
-        trainer = GANTrainer(
-            cfg, output_dir, cfg_file=args.cfg_file,
-            continue_ckpt=args.continue_ckpt, seed=args.manualSeed,
-        )
-        trainer.train(imageloader, storyloader, testloader)
+    dispatch(cfg, args, output_dir, imageloader, storyloader, testloader)
 
 
 if __name__ == "__main__":

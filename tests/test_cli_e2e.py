@@ -87,3 +87,27 @@ def test_clevr_cli_smoke(cli_cwd):
 
     main(["--cfg", cli_cwd, "--synthetic", "8", "--max_epoch", "1", "--debug"])
     assert os.path.isdir(os.path.join("output", "debug", "Model", "netG_epoch_1"))
+
+    # eval walk through the CLEVR CLI (round-3 parity gap: it stopped at
+    # --eval_fid; the dispatch ladder is now shared with the Pororo CLI)
+    main(["--cfg", cli_cwd, "--synthetic", "8", "--eval_ssim", "--debug"])
+    with open(os.path.join("output", "debug", "Evaluation", "cli_e2e",
+                           "ssim_score.csv")) as f:
+        rows = [r.split(",") for r in f.read().strip().splitlines()]
+    assert [r[0] for r in rows] == ["1", "0"]
+    assert all(-1.0 <= float(r[1]) <= 1.0 for r in rows)
+
+
+def test_cli_flag_surface_parity():
+    """Both CLIs expose the identical eval surface (reference
+    main_clevr.py:49-50 has --eval_fid/--eval_fvd; --eval_is/--eval_ssim
+    are the shared extensions) and the same dispatch precedence."""
+    from cpcsv_tpu.cli import main_clevr, main_pororo
+
+    for mod in (main_pororo, main_clevr):
+        args = mod.parse_args(["--eval_fvd", "1"])
+        assert args.eval_fvd is True
+        for flag in ("eval_fid", "eval_is", "eval_ssim"):
+            assert getattr(args, flag) is False
+        assert mod.parse_args(["--eval_fvd", "0"]).eval_fvd is False
+        assert mod.parse_args(["--load_ckpt", "3"]).load_ckpt == "3"
