@@ -13,6 +13,11 @@ cross-checked for physical possibility against XLA's own
 `compiled.cost_analysis()["flops"]`: the implied TFLOP/s must not exceed the
 v5e bf16 peak (197 TFLOP/s). MFU is reported alongside frames/s.
 
+Round-4 addition: the reported figure is the MEDIAN of CPCSV_BENCH_WINDOWS
+(default 3) independent readback-closed timing windows; ms_per_step_min/max
+carry the spread so round-over-round drift can be told apart from tunnel
+noise (r03's single-shot figure drifted -1.6% with no way to attribute it).
+
 Prints ONE JSON line:
   {"metric": "train_frames_per_sec_per_chip", "value": N, "unit": "frames/s",
    "vs_baseline": N / recorded, "ms_per_step": ..., "tflops_per_step": ...,
@@ -164,6 +169,12 @@ def main():
             .cost_analysis()["flops"]
         )
 
+    # Round-4 de-noising: the driver records a SINGLE bench figure per
+    # round, and r03 showed a -1.6% drift that was indistinguishable from
+    # tunnel noise. Time CPCSV_BENCH_WINDOWS (default 3) INDEPENDENT
+    # readback-closed windows and report the median, with min/max spread in
+    # extra fields so a future drift can be attributed.
+    n_windows = max(1, int(os.environ.get("CPCSV_BENCH_WINDOWS", "3")))
     n_iters = 20 if on_tpu else 3
     if step_mode == "scan":
         # production cadence: chunks of cfg.SCAN_STEPS DISTINCT batches
@@ -200,17 +211,19 @@ def main():
             _ = float(np.asarray(m["G/loss"][-1]))
         n_chunks = max(2, n_chunks)
         n_iters = n_chunks * K
-        t0 = time.perf_counter()
-        for _ in range(n_chunks):
-            key, sub = jax.random.split(key)
-            state, m = scan_steps(state, sub, st_k, im_k, 4e-4, 1e-4)
-            # per-chunk readback = the production pattern (the trainer logs
-            # each chunk's metrics). NB back-to-back scan dispatches WITHOUT
-            # a readback between them serialize pathologically on the axon
-            # tunnel (~+400 ms per dispatch, measured 2026-08-16).
-            final_loss = float(np.asarray(m["G/loss"][-1]))
-        assert np.isfinite(final_loss)
-        dt = (time.perf_counter() - t0) / n_iters
+        window_dts = []
+        for _w in range(n_windows):
+            t0 = time.perf_counter()
+            for _ in range(n_chunks):
+                key, sub = jax.random.split(key)
+                state, m = scan_steps(state, sub, st_k, im_k, 4e-4, 1e-4)
+                # per-chunk readback = the production pattern (the trainer
+                # logs each chunk's metrics). NB back-to-back scan dispatches
+                # WITHOUT a readback between them serialize pathologically on
+                # the axon tunnel (~+400 ms each, measured 2026-08-16).
+                final_loss = float(np.asarray(m["G/loss"][-1]))
+            assert np.isfinite(final_loss)
+            window_dts.append((time.perf_counter() - t0) / n_iters)
     else:
         # warmup: TWO executions with readbacks (steady state begins at
         # execution 2-3 on the tunnel, same as the scan branch)
@@ -219,18 +232,22 @@ def main():
             state, m = one_step(state, sub)
             _ = float(np.asarray(m["G/loss"]))
 
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            key, sub = jax.random.split(key)
-            state, m = one_step(state, sub)
-            # per-step readback = the production cadence (the trainer
-            # device_gets each step's metrics) AND the completion barrier:
-            # block_until_ready alone under-measured ~22x on this tunnel,
-            # and back-to-back dispatches with NO readback between them
-            # serialize pathologically (CLAUDE.md tunnel pitfall)
-            final_loss = float(np.asarray(m["G/loss"]))
-        assert np.isfinite(final_loss)
-        dt = (time.perf_counter() - t0) / n_iters
+        window_dts = []
+        for _w in range(n_windows):
+            t0 = time.perf_counter()
+            for _ in range(n_iters):
+                key, sub = jax.random.split(key)
+                state, m = one_step(state, sub)
+                # per-step readback = the production cadence (the trainer
+                # device_gets each step's metrics) AND the completion barrier:
+                # block_until_ready alone under-measured ~22x on this tunnel,
+                # and back-to-back dispatches with NO readback between them
+                # serialize pathologically (CLAUDE.md tunnel pitfall)
+                final_loss = float(np.asarray(m["G/loss"]))
+            assert np.isfinite(final_loss)
+            window_dts.append((time.perf_counter() - t0) / n_iters)
+    dt = float(np.median(window_dts))  # median window: robust to one
+    # tunnel hiccup; spread reported so drift vs noise is attributable
 
     frames_per_step = B_st * T + B_im  # generated frames per D+G step
     value = frames_per_step / dt
@@ -284,6 +301,9 @@ def main():
                 "unit": "frames/s",
                 "vs_baseline": round(value / baseline, 3),
                 "ms_per_step": round(dt * 1e3, 2),
+                "ms_per_step_min": round(min(window_dts) * 1e3, 2),
+                "ms_per_step_max": round(max(window_dts) * 1e3, 2),
+                "windows": len(window_dts),
                 "tflops_per_step": round(step_flops / 1e12, 3),
                 "mfu": round(mfu, 4) if on_tpu else None,
             }

@@ -33,3 +33,6 @@ def test_bench_main_prints_json(tmp_path, capsys, monkeypatch):
     assert rec["ms_per_step"] > 0
     assert rec["tflops_per_step"] > 0
     assert rec["vs_baseline"] == 1.0  # fresh baseline file in tmp_path
+    # round-4 de-noising contract: median of N windows with spread fields
+    assert rec["windows"] >= 1
+    assert rec["ms_per_step_min"] <= rec["ms_per_step"] <= rec["ms_per_step_max"]
