@@ -82,15 +82,24 @@ def test_infer_load_epoch_legacy_params_only_snapshot(trained_run):
     yield a usable sampler."""
     cfg, out_dir, (_, _, testloader) = trained_run
     infer = Infer(cfg, out_dir)
-    # fabricate a legacy snapshot: bare params tree, no batch_stats/spectral
+    # fabricate a legacy snapshot: bare params tree, no batch_stats/spectral.
+    # Removed again in the finally: the trained_run Model dir is MODULE-
+    # scoped, and a lingering netG_epoch_97 would become the newest epoch
+    # every later default-walk test silently starts from (round-3 advisor).
     infer.ckpt._ckptr.save(
         infer.ckpt._path("netG_epoch_97"), infer._template.gen.params
     )
-    with pytest.warns(UserWarning, match="legacy params-only"):
-        infer.load_epoch(97)
-    batch = next(iter(testloader))
-    fake, _ = infer.sample_videos_np(batch)
-    assert fake.shape[1] == cfg.VIDEO_LEN and np.all(np.isfinite(fake))
+    try:
+        with pytest.warns(UserWarning, match="legacy params-only"):
+            infer.load_epoch(97)
+        batch = next(iter(testloader))
+        fake, _ = infer.sample_videos_np(batch)
+        assert fake.shape[1] == cfg.VIDEO_LEN and np.all(np.isfinite(fake))
+    finally:
+        import shutil
+
+        shutil.rmtree(infer.ckpt._path("netG_epoch_97"))
+    assert 97 not in infer.ckpt.available_generator_epochs()
 
 
 def test_generate_story_clears_stale_trees(trained_run):
@@ -111,6 +120,32 @@ def test_generate_story_clears_stale_trees(trained_run):
     assert sorted(os.listdir(gen2)) == sorted(str(i) for i in range(n))
     # original tree was rebuilt too (not skipped, not stale)
     assert sorted(os.listdir(orig2)) == sorted(os.listdir(gen2))
+
+
+def test_infer_eval_fvd_csv(trained_run, monkeypatch, tmp_path):
+    """--eval_fvd walk (reference inference.py:128-141): per-epoch
+    numbered-png dump -> FVD appended to fvd_score.csv. Runs on the FVD-R
+    fallback embedder (no I3D weights in this env; documented deviation) —
+    the score is internally consistent and must be finite/non-negative."""
+    from cpcsv_tpu.data.loader import DataLoader
+    from cpcsv_tpu.data.synthetic import SyntheticStoryDataset
+    from cpcsv_tpu.evaluation.weights import RandomInitMetricWarning
+    from tests.conftest import force_no_weights
+
+    force_no_weights(monkeypatch, tmp_path)
+    cfg, out_dir, _ = trained_run
+    # 32 stories x VIDEO_LEN=5 frames = 160 pngs = 16 ten-frame FVD clips
+    # per side — the minimum the divisible-by-16 invariant admits
+    story = SyntheticStoryDataset(32, cfg.VIDEO_LEN, seed=11)
+    loader = DataLoader(story, 8, drop_last=True)
+    infer = Infer(cfg, out_dir)
+    with pytest.warns(RandomInitMetricWarning):
+        results = infer.eval_fvd(loader, epochs=[1], num_of_video=16)
+    assert len(results) == 1
+    assert np.isfinite(results[0]["fvd"]) and results[0]["fvd"] >= 0.0
+    csv_path = os.path.join(infer.eval_dir, "fvd_score.csv")
+    rows = list(csv.reader(open(csv_path)))
+    assert rows[-1][0] == "1" and float(rows[-1][1]) == results[0]["fvd"]
 
 
 def test_infer_eval_is_csv(trained_run):

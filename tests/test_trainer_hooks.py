@@ -45,7 +45,7 @@ def test_ssim_and_vfid_hooks(tmp_path, monkeypatch):
     assert cached, "tagged real-side FSD stats cache was not written"
 
 
-def test_net_g_warm_start(tmp_path):
+def test_net_g_warm_start(tmp_path, capsys, recwarn):
     """cfg.NET_G preloads generator weights from a snapshot dir before
     training (reference trainer.py:109-114). The donor snapshot comes from a
     DIFFERENT run: the restored leaves carry that checkpoint's recorded
@@ -65,3 +65,10 @@ def test_net_g_warm_start(tmp_path):
     trainer = GANTrainer(warm_cfg, warm_dir, seed=1)
     trainer.train(*make_loaders(warm_cfg))
     assert os.path.isdir(os.path.join(warm_dir, "Model", "netG_epoch_1"))
+    # the donor was actually loaded, through the FULL-variables branch: a
+    # silent except-fallthrough would miss the print, and a degraded
+    # params-only load would have warned (round-3 advisor finding)
+    assert f"Load netG from: {donor_snap}" in capsys.readouterr().out
+    assert not any(
+        "params-only snapshot" in str(w.message) for w in recwarn.list
+    ), "warm start fell back to the legacy params-only path"
