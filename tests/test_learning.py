@@ -117,6 +117,11 @@ def test_full_train_loop_drives_supervised_losses_down():
         "images_seg": jnp.asarray(masks),
     }
 
+    # snapshot the untrained generator BEFORE the first (donating) step —
+    # the SSIM-improves check below compares against it
+    net_g = models[0]
+    init_gen_vars = jax.tree.map(np.asarray, state.gen.variables())
+
     recon_hist, vae_hist = [], []
     key = jax.random.PRNGKey(42)
     # G LR boosted over final.yml's 1e-4: at the production LR the
@@ -142,3 +147,32 @@ def test_full_train_loop_drives_supervised_losses_down():
     first_v, last_v = np.mean(vae_hist[:5]), np.mean(vae_hist[-5:])
     assert last_v < first_v * 0.5, (first_v, last_v, vae_hist)
     assert last_r < first_r * 1.5, (first_r, last_r, recon_hist)
+
+    # --- training must also improve the metric the eval stack reports
+    # (reference in-train SSIM hook semantics, trainer.py:176-185): mean
+    # SSIM of generated vs real story frames, through the SAME
+    # evaluation.ssim used by the trainer hook and the --eval_ssim walk.
+    from cpcsv_tpu.evaluation.ssim import ssim_score
+
+    st_motion = jnp.concatenate(
+        [st_batch["description"], st_batch["labels"]], axis=2
+    )
+    st_content = st_batch["description"]
+
+    @jax.jit
+    def sample(variables, key):
+        out = net_g.apply(
+            variables, st_motion, st_content, False, False,
+            method="sample_videos", rngs={"noise": key},
+        )
+        return out.image
+
+    def mean_ssim(variables):
+        fake = np.asarray(sample(variables, jax.random.PRNGKey(7)))
+        return ssim_score(
+            [(fake.reshape(-1, 64, 64, 3), st_images.reshape(-1, 64, 64, 3))]
+        )
+
+    ssim_untrained = mean_ssim(init_gen_vars)
+    ssim_trained = mean_ssim(state.gen.variables())
+    assert ssim_trained > ssim_untrained, (ssim_untrained, ssim_trained)
