@@ -37,6 +37,29 @@ def test_final_yml_parses():
     assert cfg.motion_dim == 365
 
 
+def test_throughput_yml_is_final_at_4x_batch():
+    """The throughput preset (PARITY.md per-chip scaling table: 2,761 f/s @
+    57% MFU) is final.yml with IM/ST batch x4 and nothing else changed —
+    a recipe difference, not a silent hyperparameter drift."""
+    final = config_from_file(os.path.join(CFG_DIR, "final.yml"))
+    tp = config_from_file(os.path.join(CFG_DIR, "throughput.yml"))
+    assert tp.CONFIG_NAME == "throughput"
+    assert tp.TRAIN.IM_BATCH_SIZE == 4 * final.TRAIN.IM_BATCH_SIZE == 360
+    assert tp.TRAIN.ST_BATCH_SIZE == 4 * final.TRAIN.ST_BATCH_SIZE == 72
+    # the measured 2,761 f/s point is the bf16 compute path (fp32 params)
+    assert tp.COMPUTE_DTYPE == "bfloat16" and final.COMPUTE_DTYPE == "float32"
+    same = {"IM_BATCH_SIZE", "ST_BATCH_SIZE"}
+    for k, v in final.TRAIN.__dict__.items():
+        if k not in same:
+            assert getattr(tp.TRAIN, k) == v, f"TRAIN.{k} drifted"
+    for k, v in final.GAN.__dict__.items():
+        assert getattr(tp.GAN, k) == v, f"GAN.{k} drifted"
+    for k in ("CASCADE_MODEL", "SEGMENT_LEARNING", "IMAGE_RATIO",
+              "SEGMENT_RATIO", "VIDEO_LEN", "SCAN_STEPS", "FUSED_UPSAMPLE",
+              "REMAT"):
+        assert getattr(tp, k) == getattr(final, k), f"{k} drifted"
+
+
 def test_cascade_forces_segment_learning(tmp_path):
     p = tmp_path / "c.yml"
     p.write_text("CASCADE_MODEL: true\nSEGMENT_LEARNING: false\n")
