@@ -111,3 +111,45 @@ def test_cli_flag_surface_parity():
             assert getattr(args, flag) is False
         assert mod.parse_args(["--eval_fvd", "0"]).eval_fvd is False
         assert mod.parse_args(["--load_ckpt", "3"]).load_ckpt == "3"
+
+
+def test_dispatch_precedence(monkeypatch):
+    """The shared branch ladder is mutually exclusive with the reference's
+    precedence (main_pororo.py:152-171): eval_fid > eval_fvd > eval_is >
+    eval_ssim > load_ckpt > train. When several flags are set, only the
+    highest-precedence driver method runs."""
+    import argparse
+
+    from cpcsv_tpu.cli import dispatch as dmod
+
+    calls = []
+
+    class FakeInfer:
+        def __init__(self, cfg, output_dir, load_ckpt=None):
+            if load_ckpt is not None:
+                calls.append(("load_ckpt", load_ckpt))
+
+        def __getattr__(self, name):
+            return lambda *a, **k: calls.append((name,))
+
+    monkeypatch.setattr(
+        "cpcsv_tpu.evaluation.drivers.Infer", FakeInfer, raising=True
+    )
+
+    def ns(**kw):
+        base = dict(eval_fid=False, eval_fvd=False, eval_is=False,
+                    eval_ssim=False, load_ckpt=None, cfg_file="x.yml",
+                    continue_ckpt=None, manualSeed=0)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    dmod.dispatch(None, ns(eval_fid=True, eval_fvd=True, load_ckpt="7"),
+                  "out", None, None, None)
+    assert calls == [("eval_fid2",)]
+    calls.clear()
+    dmod.dispatch(None, ns(eval_fvd=True, eval_ssim=True), "out",
+                  None, None, None)
+    assert calls == [("eval_fvd",)]
+    calls.clear()
+    dmod.dispatch(None, ns(load_ckpt="7"), "out", None, None, None)
+    assert calls == [("load_ckpt", "7"), ("inference_samples",)]
