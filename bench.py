@@ -71,6 +71,29 @@ def _arm_watchdog():
     return t
 
 
+def _time_windows(n_windows, dispatches_per_window, steps_per_dispatch, run_dispatch):
+    """Time n_windows INDEPENDENT windows; returns per-STEP durations.
+
+    This is the one place the readback-closed timing methodology lives:
+    run_dispatch must dispatch one jitted program AND read back a scalar
+    from its metrics. The readback is the completion barrier
+    (block_until_ready alone under-measured ~22x on this tunnel) and also
+    the anti-serialization guard — back-to-back dispatches with NO readback
+    between them serialize pathologically (+400 ms each, measured
+    2026-08-16; CLAUDE.md tunnel pitfall). It matches production cadence
+    too: the trainer logs every dispatch's metrics."""
+    window_dts = []
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        for _ in range(dispatches_per_window):
+            final_loss = run_dispatch()
+        assert np.isfinite(final_loss)
+        window_dts.append(
+            (time.perf_counter() - t0) / (dispatches_per_window * steps_per_dispatch)
+        )
+    return window_dts
+
+
 def main():
     from cpcsv_tpu.models import build_models
     from cpcsv_tpu.train import create_train_state, make_train_steps
@@ -106,7 +129,7 @@ def main():
         # loud failure: a typo'd mode silently timing the default arm is the
         # exact A/B misattribution benchutil's strict parsing guards against
         raise SystemExit(f"CPCSV_BENCH_STEP must be scan|split|fused, got {step_mode!r}")
-    from cpcsv_tpu.cli.main_pororo import _str2bool
+    from cpcsv_tpu.cli.dispatch import _str2bool
 
     donate = _str2bool(os.environ.get("CPCSV_BENCH_DONATE", "1"))
 
@@ -201,51 +224,38 @@ def main():
             .compile()
             .cost_analysis()["flops"]
         )
-        # warmup: TWO dispatches with readbacks — the first executions after
-        # compile have shown order-of-magnitude anomalies on the tunnel
-        # (donated-carry buffers ping-ponging through the host when no
-        # readback intervenes); steady state begins at execution 2-3.
-        for _ in range(2):
+        def run_dispatch():
+            # per-chunk readback = the production pattern (the trainer
+            # logs each chunk's metrics)
+            nonlocal state, key
             key, sub = jax.random.split(key)
             state, m = scan_steps(state, sub, st_k, im_k, 4e-4, 1e-4)
-            _ = float(np.asarray(m["G/loss"][-1]))
+            return float(np.asarray(m["G/loss"][-1]))
+
         n_chunks = max(2, n_chunks)
         n_iters = n_chunks * K
-        window_dts = []
-        for _w in range(n_windows):
-            t0 = time.perf_counter()
-            for _ in range(n_chunks):
-                key, sub = jax.random.split(key)
-                state, m = scan_steps(state, sub, st_k, im_k, 4e-4, 1e-4)
-                # per-chunk readback = the production pattern (the trainer
-                # logs each chunk's metrics). NB back-to-back scan dispatches
-                # WITHOUT a readback between them serialize pathologically on
-                # the axon tunnel (~+400 ms each, measured 2026-08-16).
-                final_loss = float(np.asarray(m["G/loss"][-1]))
-            assert np.isfinite(final_loss)
-            window_dts.append((time.perf_counter() - t0) / n_iters)
+        dispatches_per_window, steps_per_dispatch = n_chunks, K
     else:
-        # warmup: TWO executions with readbacks (steady state begins at
-        # execution 2-3 on the tunnel, same as the scan branch)
-        for _ in range(2):
+
+        def run_dispatch():
+            # per-step readback = the production cadence (the trainer
+            # device_gets each step's metrics)
+            nonlocal state, key
             key, sub = jax.random.split(key)
             state, m = one_step(state, sub)
-            _ = float(np.asarray(m["G/loss"]))
+            return float(np.asarray(m["G/loss"]))
 
-        window_dts = []
-        for _w in range(n_windows):
-            t0 = time.perf_counter()
-            for _ in range(n_iters):
-                key, sub = jax.random.split(key)
-                state, m = one_step(state, sub)
-                # per-step readback = the production cadence (the trainer
-                # device_gets each step's metrics) AND the completion barrier:
-                # block_until_ready alone under-measured ~22x on this tunnel,
-                # and back-to-back dispatches with NO readback between them
-                # serialize pathologically (CLAUDE.md tunnel pitfall)
-                final_loss = float(np.asarray(m["G/loss"]))
-            assert np.isfinite(final_loss)
-            window_dts.append((time.perf_counter() - t0) / n_iters)
+        dispatches_per_window, steps_per_dispatch = n_iters, 1
+
+    # warmup: TWO dispatches with readbacks — the first executions after
+    # compile have shown order-of-magnitude anomalies on the tunnel
+    # (donated-carry buffers ping-ponging through the host when no readback
+    # intervenes); steady state begins at execution 2-3.
+    for _ in range(2):
+        run_dispatch()
+    window_dts = _time_windows(
+        n_windows, dispatches_per_window, steps_per_dispatch, run_dispatch
+    )
     dt = float(np.median(window_dts))  # median window: robust to one
     # tunnel hiccup; spread reported so drift vs noise is attributable
 

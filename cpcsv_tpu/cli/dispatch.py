@@ -10,7 +10,19 @@ fid/inception_score.py and ssim_score.py but wires neither to a CLI).
 
 from __future__ import annotations
 
+import argparse
 import os
+
+
+def _str2bool(v: str) -> bool:
+    """Strict boolean flag parser — the documented fix for the reference's
+    argparse type=bool footgun (main_pororo.py:39-40: any non-empty string,
+    including "0" and "False", parsed as True)."""
+    if v.lower() in ("1", "true", "yes", "y"):
+        return True
+    if v.lower() in ("0", "false", "no", "n"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
 
 
 def dispatch(cfg, args, output_dir, imageloader, storyloader, testloader):
@@ -51,8 +63,6 @@ def add_eval_flags(parser):
     """The four eval-walk flags, shared verbatim by both CLIs (reference
     main_pororo.py:39-40 / main_clevr.py:49-50 use the broken argparse
     type=bool; _str2bool is the documented fix)."""
-    from cpcsv_tpu.cli.main_pororo import _str2bool
-
     for flag in ("--eval_fid", "--eval_fvd", "--eval_is", "--eval_ssim"):
         parser.add_argument(flag, type=_str2bool, nargs="?", const=True,
                             default=False)

@@ -17,7 +17,7 @@ def parse_args(argv=None):
     parser.add_argument("--continue_ckpt", default=None, type=str)
     parser.add_argument("--data_dir", dest="data_dir", type=str, default="")
     # real boolean parsing (documented deviation from the reference's
-    # broken argparse type=bool; see main_pororo._str2bool). Same eval
+    # broken argparse type=bool; see dispatch._str2bool). Same eval
     # surface as the Pororo CLI: --eval_fid/--eval_fvd per reference
     # main_clevr.py:49-50, --eval_is/--eval_ssim as extensions.
     from cpcsv_tpu.cli.dispatch import add_eval_flags

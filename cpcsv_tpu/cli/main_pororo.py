@@ -15,13 +15,9 @@ import argparse
 import os
 import pprint
 
-
-def _str2bool(v: str) -> bool:
-    if v.lower() in ("1", "true", "yes", "y"):
-        return True
-    if v.lower() in ("0", "false", "no", "n"):
-        return False
-    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+# re-exported for backward compatibility (bench.py and older callers
+# import it from here); the definition lives in the shared CLI layer
+from cpcsv_tpu.cli.dispatch import _str2bool  # noqa: F401
 
 
 def parse_args(argv=None):

@@ -122,28 +122,33 @@ class Infer:
                 f"({type(e).__name__}); borrowing batch statistics from "
                 "train_state_last — per-epoch eval scores may be distorted."
             )
-            state = self._borrowed_train_state()
             # normalize placement: the two restores can come back on
             # DIFFERENT device sets (orbax re-applies each checkpoint's
             # recorded sharding — e.g. mesh-sharded train state vs
             # single-device legacy snapshot), and one jitted call cannot
-            # mix them. jax.device_get fetches only the borrowed gen
-            # subtree to host (not the optimizer/discriminator bulk);
-            # unlike np.asarray it also accepts replicated global arrays,
-            # which is what a multi-host run restores (fully replicated
-            # params — arbitrary cross-host shardings are out of scope).
-            self._gen_vars = jax.device_get(
-                {**state.gen.variables(), "params": params}
-            )
+            # mix them. jax.device_get works where np.asarray does not:
+            # it also accepts replicated global arrays, which is what a
+            # multi-host run restores (fully replicated params — arbitrary
+            # cross-host shardings are out of scope).
+            self._gen_vars = {
+                **self._borrowed_gen_vars(),
+                "params": jax.device_get(params),
+            }
         return self._gen_vars
 
-    def _borrowed_train_state(self):
-        """train_state_last, restored ONCE per Infer instance: a legacy
-        checkpoint walk hits the params-only branch for every epoch, and
-        re-reading the full Orbax state each time is pure repeated I/O
-        (round-3 advisor finding)."""
+    def _borrowed_gen_vars(self):
+        """Host copies of train_state_last's generator variables (minus
+        params), fetched ONCE per Infer instance: a legacy checkpoint walk
+        hits the params-only branch for every epoch, and re-reading the
+        full Orbax state each time is pure repeated I/O (round-3 advisor
+        finding). Only the gen subtree is kept — holding the whole restored
+        TrainState would pin the optimizer/discriminator bulk in device
+        memory for the Infer lifetime (round-4 review finding)."""
         if self._borrowed_state is None:
-            self._borrowed_state = self.ckpt.restore(self._template)
+            state = self.ckpt.restore(self._template)
+            host_vars = jax.device_get(state.gen.variables())
+            host_vars.pop("params", None)
+            self._borrowed_state = host_vars
         return self._borrowed_state
 
     def _require_vars(self):

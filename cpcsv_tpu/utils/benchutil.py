@@ -35,7 +35,7 @@ def apply_env_overrides(cfg: Config, env: str = "CPCSV_BENCH_OVERRIDES") -> Conf
             # strict parse (same table as cli._str2bool): an unrecognized
             # token like "off" must error, not silently become True and
             # attribute an A/B perf delta to the wrong configuration
-            from cpcsv_tpu.cli.main_pororo import _str2bool
+            from cpcsv_tpu.cli.dispatch import _str2bool
 
             v = _str2bool(v)
         elif isinstance(cur, (int, float)):
