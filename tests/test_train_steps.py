@@ -106,6 +106,43 @@ def test_bf16_adam_moments():
     np.testing.assert_allclose(a, b, rtol=0, atol=5e-3)
 
 
+def test_bf16_compute_train_step():
+    """COMPUTE_DTYPE=bfloat16 — the compute path configs/throughput.yml
+    ships (and the TPU bench measures): the full cascade D+G step runs
+    finite, params/optimizer stay fp32 (bf16 is compute-only, selected in
+    models/factory.py), params move, and the first updated kernel tracks
+    the fp32-compute program to bf16-roundoff tolerance."""
+    cfg = tiny_cfg(CASCADE_MODEL=True, SEGMENT_LEARNING=True,
+                   COMPUTE_DTYPE="bfloat16")
+    models = build_models(cfg)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), models)
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(state.gen.params))
+
+    d_step, g_step = make_train_steps(cfg, models)
+    rng = np.random.default_rng(3)
+    st_batch, im_batch = make_batches(cfg, rng)
+    before = np.asarray(jax.tree.leaves(state.gen.params)[0]).copy()
+    state, dm = d_step(state, jax.random.PRNGKey(1), st_batch, im_batch, 4e-4)
+    state, gm = g_step(state, jax.random.PRNGKey(2), st_batch, im_batch, 1e-4)
+    for k, v in {**dm, **gm}.items():
+        assert np.isfinite(np.asarray(v)), f"{k} not finite"
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(state.gen.params))
+    after = np.asarray(jax.tree.leaves(state.gen.params)[0])
+    assert not np.allclose(before, after), "G params did not move under bf16"
+
+    # parity vs fp32 compute after one identical step: Adam's first update
+    # is ~ -lr*sign(grad), so bf16 gradient roundoff can flip near-zero
+    # elements by up to 2*lr (same allowance as the multi-device dryrun)
+    cfg32 = tiny_cfg(CASCADE_MODEL=True, SEGMENT_LEARNING=True)
+    models32 = build_models(cfg32)
+    state32 = create_train_state(cfg32, jax.random.PRNGKey(0), models32)
+    d32, g32 = make_train_steps(cfg32, models32)
+    state32, _ = d32(state32, jax.random.PRNGKey(1), st_batch, im_batch, 4e-4)
+    state32, _ = g32(state32, jax.random.PRNGKey(2), st_batch, im_batch, 1e-4)
+    ref = np.asarray(jax.tree.leaves(state32.gen.params)[0])
+    np.testing.assert_allclose(after, ref, rtol=0, atol=2.5e-4)
+
+
 def test_infonce_train_step():
     """USE_INFONCE extension: D step runs, losses finite, params move."""
     cfg = tiny_cfg(CASCADE_MODEL=False, SEGMENT_LEARNING=True, USE_INFONCE=True)
