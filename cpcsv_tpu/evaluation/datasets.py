@@ -99,13 +99,16 @@ class StoryGANDataset:
     # chunk=64: measured on v5e (tools/bench_inference.py) — 11.4k frames/s
     # at batch 18 vs 17.1k at batch 72; larger chunks amortize dispatch and
     # fill the MXU. The final partial chunk costs one extra compile.
-    def __init__(self, net_g, variables, testdataset, rng, text_dim: int = 356, chunk: int = 64):
+    def __init__(self, net_g, variables, testdataset, rng, text_dim: int = 356,
+                 chunk: int = 64, mesh=None):
         self.net_g = net_g
         self.variables = variables
         self.ds = testdataset
         self.text_dim = text_dim
         self.chunk = chunk
         self.rng = rng
+        self.mesh = mesh  # multi-device: full chunks shard over the batch axis
+        self._repl_vars = None
         self._cache: dict[int, np.ndarray] = {}
         self._real_cache: dict[int, np.ndarray] = {}
         self._gen_jit = partial(_sample_videos_jit, net_g)
@@ -132,8 +135,22 @@ class StoryGANDataset:
         motion = jnp.asarray(np.stack(motions))
         content = jnp.asarray(np.stack(contents))
         key = jax.random.fold_in(self.rng, start)
+        # data-parallel generation over the mesh: full chunks shard their
+        # batch axis, the ragged tail chunk runs unsharded (its own compile
+        # either way). RNG values are a function of logical shape only, so
+        # sharded == unsharded output for the same key.
+        from cpcsv_tpu.parallel.mesh import eval_shardings
+
+        batch_sh, repl = eval_shardings(self.mesh, motion.shape[0])
+        variables = self.variables
+        if batch_sh is not None:
+            motion = jax.device_put(motion, batch_sh)
+            content = jax.device_put(content, batch_sh)
+            if self._repl_vars is None:
+                self._repl_vars = jax.device_put(variables, repl)
+            variables = self._repl_vars
         fake = np.asarray(
-            self._gen_jit(self.variables, motion, content, key), np.float32
+            self._gen_jit(variables, motion, content, key), np.float32
         )
         for j, i in enumerate(idxs):
             self._cache[i] = fake[j]

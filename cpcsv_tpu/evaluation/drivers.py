@@ -67,6 +67,16 @@ class Infer:
         self.ckpt = CheckpointManager(self.model_dir)
         self.models = build_models(cfg)
         self.net_g = self.models[0]
+        # same mesh rule as the trainer (cfg.MESH_SHAPE; empty = all local
+        # devices): eval generation shards its batch axis over the mesh
+        # exactly like training does — the reference evaluates on one GPU
+        # only (inference.py runs no data_parallel), so this is a TPU-first
+        # extension, numerically identical to the 1-device walk
+        from cpcsv_tpu.parallel.mesh import make_mesh
+
+        self.mesh = make_mesh(cfg.MESH_SHAPE)
+        self._repl_vars = None
+        self._repl_vars_src = None
         self.rng = jax.random.PRNGKey(rng_seed)
         self.fid_weights = fid_weights
         self.fsd_weights = fsd_weights
@@ -165,7 +175,20 @@ class Infer:
         cfg = self.cfg
         motion, content = _batch_motion_content(cfg, batch)
         self.rng, key = jax.random.split(self.rng)
-        image, mask = self._sampler(seg)(self._gen_vars, motion, content, key)
+        from cpcsv_tpu.parallel.mesh import eval_shardings
+
+        batch_sh, repl = eval_shardings(self.mesh, motion.shape[0])
+        variables = self._gen_vars
+        if batch_sh is not None:
+            motion = jax.device_put(motion, batch_sh)
+            content = jax.device_put(content, batch_sh)
+            # replicated-vars cache, invalidated whenever load_epoch swaps
+            # the underlying variables dict
+            if self._repl_vars_src is not self._gen_vars:
+                self._repl_vars = jax.device_put(self._gen_vars, repl)
+                self._repl_vars_src = self._gen_vars
+            variables = self._repl_vars
+        image, mask = self._sampler(seg)(variables, motion, content, key)
         return np.asarray(image), (np.asarray(mask) if mask is not None else None)
 
     # ------------------------------------------------------------------
@@ -395,7 +418,7 @@ class Infer:
     def eval_ssim(self, testdataset, n: Optional[int] = None):
         ds = StoryGANSSIMDataset(
             self.net_g, self._require_vars(), testdataset, self.rng,
-            text_dim=self.cfg.TEXT.DIMENSION,
+            text_dim=self.cfg.TEXT.DIMENSION, mesh=self.mesh,
         )
         n = n or len(ds)
         return ssim_score(ds[i] for i in range(n))
@@ -438,12 +461,13 @@ def make_in_memory_extractors(fid_weights=None, fsd_weights=None):
 
 def evaluate_fid_fsd_in_memory(cfg, net_g, gen_vars, testloader, rng,
                                fid_weights=None, fsd_weights=None,
-                               extractors=None):
+                               extractors=None, mesh=None):
     """In-training eval hook (reference trainer.py:160-174 calculate_vfid):
     wraps the generator as a dataset and computes FID + FSD without dumping
     pngs. Real-side stats cached under .cache/ like the reference."""
     testdataset = testloader.dataset
-    gen_ds = StoryGANDataset(net_g, gen_vars, testdataset, rng, cfg.TEXT.DIMENSION)
+    gen_ds = StoryGANDataset(net_g, gen_vars, testdataset, rng,
+                             cfg.TEXT.DIMENSION, mesh=mesh)
     real_ds = IgnoreLabelDataset(testdataset)
     bs = min(50, len(testdataset))
     fid_ex, fsd_ex = extractors or make_in_memory_extractors(fid_weights, fsd_weights)

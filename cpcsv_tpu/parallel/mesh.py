@@ -58,6 +58,23 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def eval_shardings(mesh: Optional[Mesh], batch: int):
+    """(batch_sharding, replicate) for an eval/generation forward, or
+    (None, None) to run unsharded. Sharding applies when the mesh is
+    multi-device, the batch divides evenly, and this is a single-process
+    run (multi-host eval would need make_array_from_process_local_data;
+    per-host loader slices already split the work there). The fallback is
+    not an error: eval chunk tails are legitimately ragged."""
+    if (
+        mesh is not None
+        and mesh.size > 1
+        and batch % mesh.size == 0
+        and jax.process_count() == 1
+    ):
+        return batch_sharding(mesh), replicate(mesh)
+    return None, None
+
+
 def shard_batch(batch: Any, mesh: Mesh, scan_axis: bool = False) -> Any:
     """Device-put a dict/pytree of host arrays with the batch axis sharded
     over the data axis (leading axis, or axis 1 under a scan_axis stack).

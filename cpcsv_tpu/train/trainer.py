@@ -431,6 +431,7 @@ class GANTrainer:
         ds = StoryGANSSIMDataset(
             self.models[0], state.gen.variables(), testloader.dataset,
             jax.random.PRNGKey(5678 + epoch), text_dim=self.cfg.TEXT.DIMENSION,
+            mesh=self.mesh,
         )
         value = ssim_score(ds[i] for i in range(len(ds)))
         self.logger.add_scalar("Evaluation/ssim", value, epoch)
@@ -451,7 +452,7 @@ class GANTrainer:
         scores = evaluate_fid_fsd_in_memory(
             self.cfg, self.models[0], state.gen.variables(), testloader,
             rng=jax.random.PRNGKey(1234 + epoch),
-            extractors=self._eval_extractors,
+            extractors=self._eval_extractors, mesh=self.mesh,
         )
         self.logger.add_scalar("Evaluation/vfid", scores["fsd"], epoch)
         self.logger.add_scalar("Evaluation/fid", scores["fid"], epoch)

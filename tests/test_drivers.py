@@ -75,6 +75,38 @@ def test_infer_eval_ssim_walk_csv(trained_run):
     assert rows[-1][0] == "1" and float(rows[-1][1]) == val
 
 
+def test_infer_mesh_sharded_eval_matches_single_device(trained_run):
+    """Eval generation shards its batch over cfg.MESH_SHAPE exactly like
+    training (TPU-first extension: reference inference.py evaluates on one
+    GPU). Sharded and 1-device walks must produce IDENTICAL samples —
+    jax.random values depend on logical shapes only and the eval forward
+    has no cross-batch reductions (BN uses running stats)."""
+    cfg, out_dir, (_, _, testloader) = trained_run
+    batch = next(iter(testloader))
+    assert np.asarray(batch["images"]).shape[0] % 8 == 0  # divisible: shards
+
+    infer8 = Infer(cfg.with_updates(MESH_SHAPE="data:8"), out_dir,
+                   load_ckpt=1, rng_seed=3)
+    infer1 = Infer(cfg.with_updates(MESH_SHAPE="data:1"), out_dir,
+                   load_ckpt=1, rng_seed=3)
+    assert infer8.mesh.size == 8 and infer1.mesh.size == 1
+    fake8, _ = infer8.sample_videos_np(batch)
+    fake1, _ = infer1.sample_videos_np(batch)
+    np.testing.assert_allclose(fake8, fake1, rtol=0, atol=2e-6)
+
+    # the in-memory generator-wrapping dataset (FID/SSIM path) too
+    from cpcsv_tpu.evaluation.datasets import StoryGANDataset
+    import jax
+
+    ds8 = StoryGANDataset(infer8.net_g, infer8._gen_vars, testloader.dataset,
+                          jax.random.PRNGKey(11), cfg.TEXT.DIMENSION,
+                          chunk=8, mesh=infer8.mesh)
+    ds1 = StoryGANDataset(infer1.net_g, infer1._gen_vars, testloader.dataset,
+                          jax.random.PRNGKey(11), cfg.TEXT.DIMENSION,
+                          chunk=8, mesh=infer1.mesh)
+    np.testing.assert_allclose(ds8[0], ds1[0], rtol=0, atol=2e-6)
+
+
 def test_infer_load_epoch_legacy_params_only_snapshot(trained_run):
     """Round-1-format snapshots stored ONLY the params pytree. load_epoch
     must fall back to the legacy reader (drivers.load_epoch except-branch),
