@@ -80,7 +80,10 @@ def bench_setup(force_cpu: bool = False):
     else:
         cfg = shrink_for_cpu(cfg)
         b_st, b_im = 2, 4
-    return cfg, b_st, b_im, on_tpu
+    # same per-chip batch-scaling knob as bench.py (which keeps its own
+    # flow): lets the perf tools profile e.g. the 4x throughput-preset shape
+    scale = int(os.environ.get("CPCSV_BENCH_SCALE", "1"))
+    return cfg, b_st * scale, b_im * scale, on_tpu
 
 
 def shrink_for_cpu(cfg: Config) -> Config:
