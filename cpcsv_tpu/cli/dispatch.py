@@ -67,3 +67,17 @@ def add_eval_flags(parser):
         parser.add_argument(flag, type=_str2bool, nargs="?", const=True,
                             default=False)
     return parser
+
+
+def add_compat_flags(parser):
+    """Flags the reference parses but never consumes, accepted here so a
+    migrating command line does not die on argparse:
+
+    - --gpu (dest gpu_id, reference main_pororo.py:37 / main_clevr.py:47):
+      parsed into args.gpu_id but the reference reads cfg.GPU_ID from YAML
+      only (main_pororo.py:64 `num_gpu = len(cfg.GPU_ID.split(','))`) —
+      args.gpu_id is dead. Quirk preserved: accepted and ignored (device
+      selection is JAX's job on TPU).
+    """
+    parser.add_argument("--gpu", dest="gpu_id", type=str, default="")
+    return parser

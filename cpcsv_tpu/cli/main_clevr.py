@@ -10,7 +10,12 @@ import pprint
 
 def parse_args(argv=None):
     parser = argparse.ArgumentParser(description="Train CP-CSV on CLEVR (TPU)")
-    parser.add_argument("--debug", default=False, action="store_true")
+    from cpcsv_tpu.cli.dispatch import _str2bool
+
+    # value-taking --debug, like the reference's (main_clevr.py:41 has no
+    # type, so `--debug 1` is the reference form); bare switch also works
+    parser.add_argument("--debug", type=_str2bool, nargs="?", const=True,
+                        default=False)
     parser.add_argument("--cfg", dest="cfg_file", type=str,
                         default=os.path.join(os.path.dirname(__file__), "..", "configs", "clevr.yml"))
     parser.add_argument("--load_ckpt", default=None, type=str)
@@ -20,9 +25,10 @@ def parse_args(argv=None):
     # broken argparse type=bool; see dispatch._str2bool). Same eval
     # surface as the Pororo CLI: --eval_fid/--eval_fvd per reference
     # main_clevr.py:49-50, --eval_is/--eval_ssim as extensions.
-    from cpcsv_tpu.cli.dispatch import add_eval_flags
+    from cpcsv_tpu.cli.dispatch import add_compat_flags, add_eval_flags
 
     add_eval_flags(parser)
+    add_compat_flags(parser)
     parser.add_argument("--manualSeed", type=int, default=0)
     parser.add_argument("--synthetic", type=int, default=0,
                         help="train on N synthetic samples instead of DATA_DIR")

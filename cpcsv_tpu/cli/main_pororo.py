@@ -22,7 +22,11 @@ from cpcsv_tpu.cli.dispatch import _str2bool  # noqa: F401
 
 def parse_args(argv=None):
     parser = argparse.ArgumentParser(description="Train a CP-CSV story GAN (TPU)")
-    parser.add_argument("--debug", default=False, action="store_true")
+    # the reference's --debug takes a value (main_pororo.py:31 has no type,
+    # so `--debug 1` is the reference form); nargs="?" accepts both that and
+    # the bare-switch form
+    parser.add_argument("--debug", type=_str2bool, nargs="?", const=True,
+                        default=False)
     parser.add_argument("--cfg", dest="cfg_file", type=str,
                         default=os.path.join(os.path.dirname(__file__), "..", "configs", "final.yml"))
     parser.add_argument("--load_ckpt", default=None, type=str)
@@ -33,9 +37,10 @@ def parse_args(argv=None):
     # (documented deviation): 0/1/true/false parse as real booleans.
     # --eval_is / --eval_ssim are extensions (the reference ships the metric
     # files but wires neither to a CLI).
-    from cpcsv_tpu.cli.dispatch import add_eval_flags
+    from cpcsv_tpu.cli.dispatch import add_compat_flags, add_eval_flags
 
     add_eval_flags(parser)
+    add_compat_flags(parser)
     parser.add_argument("--manualSeed", type=int, default=0)
     parser.add_argument("--synthetic", type=int, default=0,
                         help="train on N synthetic samples instead of DATA_DIR")

@@ -111,6 +111,15 @@ def test_cli_flag_surface_parity():
             assert getattr(args, flag) is False
         assert mod.parse_args(["--eval_fvd", "0"]).eval_fvd is False
         assert mod.parse_args(["--load_ckpt", "3"]).load_ckpt == "3"
+        # reference compat: --gpu is parsed (main_pororo.py:37) but never
+        # consumed there (num_gpu reads cfg.GPU_ID from YAML only) — a
+        # migrating command line must not die on argparse
+        assert mod.parse_args(["--gpu", "0,1"]).gpu_id == "0,1"
+        # reference --debug takes a value (no type at main_pororo.py:31);
+        # both the reference form and the bare switch must parse
+        assert mod.parse_args(["--debug", "1"]).debug is True
+        assert mod.parse_args(["--debug"]).debug is True
+        assert mod.parse_args([]).debug is False
 
 
 def test_dispatch_precedence(monkeypatch):
