@@ -206,8 +206,9 @@ def main():
         if on_tpu:
             n_iters = max(n_iters, cfg.SCAN_STEPS)  # K must not be capped
         K = max(1, min(cfg.SCAN_STEPS, n_iters))
-        n_chunks = max(1, n_iters // K)
-        n_iters = n_chunks * K
+        # >=2 chunks per window: one chunk would time a single dispatch and
+        # be fully exposed to a tunnel hiccup
+        n_chunks = max(2, n_iters // K)
         st_k = jax.tree_util.tree_map(
             lambda a: jnp.stack([a + 0.01 * i for i in range(K)]), st_batch
         )
@@ -232,8 +233,6 @@ def main():
             state, m = scan_steps(state, sub, st_k, im_k, 4e-4, 1e-4)
             return float(np.asarray(m["G/loss"][-1]))
 
-        n_chunks = max(2, n_chunks)
-        n_iters = n_chunks * K
         dispatches_per_window, steps_per_dispatch = n_chunks, K
     else:
 

@@ -108,7 +108,7 @@ class StoryGANDataset:
         self.chunk = chunk
         self.rng = rng
         self.mesh = mesh  # multi-device: full chunks shard over the batch axis
-        self._repl_vars = None
+        self._shard_cache: dict = {}
         self._cache: dict[int, np.ndarray] = {}
         self._real_cache: dict[int, np.ndarray] = {}
         self._gen_jit = partial(_sample_videos_jit, net_g)
@@ -139,16 +139,11 @@ class StoryGANDataset:
         # batch axis, the ragged tail chunk runs unsharded (its own compile
         # either way). RNG values are a function of logical shape only, so
         # sharded == unsharded output for the same key.
-        from cpcsv_tpu.parallel.mesh import eval_shardings
+        from cpcsv_tpu.parallel.mesh import shard_eval_inputs
 
-        batch_sh, repl = eval_shardings(self.mesh, motion.shape[0])
-        variables = self.variables
-        if batch_sh is not None:
-            motion = jax.device_put(motion, batch_sh)
-            content = jax.device_put(content, batch_sh)
-            if self._repl_vars is None:
-                self._repl_vars = jax.device_put(variables, repl)
-            variables = self._repl_vars
+        (motion, content), variables = shard_eval_inputs(
+            self.mesh, (motion, content), self.variables, self._shard_cache
+        )
         fake = np.asarray(
             self._gen_jit(variables, motion, content, key), np.float32
         )

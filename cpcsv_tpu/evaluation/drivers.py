@@ -71,12 +71,13 @@ class Infer:
         # devices): eval generation shards its batch axis over the mesh
         # exactly like training does — the reference evaluates on one GPU
         # only (inference.py runs no data_parallel), so this is a TPU-first
-        # extension, numerically identical to the 1-device walk
-        from cpcsv_tpu.parallel.mesh import make_mesh
+        # extension, numerically identical to the 1-device walk. Unlike
+        # training, a configured mesh that does not fit THIS host (walking a
+        # run trained on more chips) falls back to the local device set.
+        from cpcsv_tpu.parallel.mesh import make_eval_mesh
 
-        self.mesh = make_mesh(cfg.MESH_SHAPE)
-        self._repl_vars = None
-        self._repl_vars_src = None
+        self.mesh = make_eval_mesh(cfg.MESH_SHAPE)
+        self._shard_cache: dict = {}
         self.rng = jax.random.PRNGKey(rng_seed)
         self.fid_weights = fid_weights
         self.fsd_weights = fsd_weights
@@ -175,19 +176,11 @@ class Infer:
         cfg = self.cfg
         motion, content = _batch_motion_content(cfg, batch)
         self.rng, key = jax.random.split(self.rng)
-        from cpcsv_tpu.parallel.mesh import eval_shardings
+        from cpcsv_tpu.parallel.mesh import shard_eval_inputs
 
-        batch_sh, repl = eval_shardings(self.mesh, motion.shape[0])
-        variables = self._gen_vars
-        if batch_sh is not None:
-            motion = jax.device_put(motion, batch_sh)
-            content = jax.device_put(content, batch_sh)
-            # replicated-vars cache, invalidated whenever load_epoch swaps
-            # the underlying variables dict
-            if self._repl_vars_src is not self._gen_vars:
-                self._repl_vars = jax.device_put(self._gen_vars, repl)
-                self._repl_vars_src = self._gen_vars
-            variables = self._repl_vars
+        (motion, content), variables = shard_eval_inputs(
+            self.mesh, (motion, content), self._gen_vars, self._shard_cache
+        )
         image, mask = self._sampler(seg)(variables, motion, content, key)
         return np.asarray(image), (np.asarray(mask) if mask is not None else None)
 

@@ -58,6 +58,28 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def make_eval_mesh(mesh_shape: str = "") -> Mesh:
+    """`make_mesh`, but falling back to all local devices when the
+    configured mesh does not fit this host. An eval/inference walk of a run
+    trained elsewhere (e.g. MESH_SHAPE "data:8" archived in the run's
+    setting.yml, walked on a 1-chip host) must not die in make_mesh's
+    device-count assert: eval sharding is a throughput extension, not a
+    semantic requirement (sharded == unsharded samples, tested), so the
+    local device set is always a correct substitute. Training keeps the
+    strict make_mesh — silently under-sharding a TRAIN run would change
+    the global batch (reference num_gpu semantics, main_pororo.py:64)."""
+    if mesh_shape and mesh_size(mesh_shape) > len(jax.devices()):
+        import warnings
+
+        warnings.warn(
+            f"MESH_SHAPE {mesh_shape!r} needs {mesh_size(mesh_shape)} devices "
+            f"but only {len(jax.devices())} are visible — eval falls back to "
+            "the local device set (numerically identical, just less parallel)."
+        )
+        return make_mesh("")
+    return make_mesh(mesh_shape)
+
+
 def eval_shardings(mesh: Optional[Mesh], batch: int):
     """(batch_sharding, replicate) for an eval/generation forward, or
     (None, None) to run unsharded. Sharding applies when the mesh is
@@ -73,6 +95,26 @@ def eval_shardings(mesh: Optional[Mesh], batch: int):
     ):
         return batch_sharding(mesh), replicate(mesh)
     return None, None
+
+
+def shard_eval_inputs(mesh: Optional[Mesh], arrays: tuple, variables: Any,
+                      cache: dict):
+    """Shard a generation forward's batch arrays over the mesh and replicate
+    its variables, or pass both through untouched when `eval_shardings`
+    declines (ragged tail / 1-device mesh / multi-host). `cache` is a 1-slot
+    dict owned by the caller: the replicated variables are device_put once
+    per distinct `variables` object (identity-keyed), so checkpoint walks
+    re-replicate only when load_epoch swaps the dict. Shared by
+    Infer.sample_videos_np and StoryGANDataset._generate_chunk — one place
+    for the sharding rule, not two divergent copies."""
+    batch_sh, repl = eval_shardings(mesh, arrays[0].shape[0])
+    if batch_sh is None:
+        return arrays, variables
+    arrays = tuple(jax.device_put(a, batch_sh) for a in arrays)
+    if cache.get("src") is not variables:
+        cache["repl"] = jax.device_put(variables, repl)
+        cache["src"] = variables
+    return arrays, cache["repl"]
 
 
 def shard_batch(batch: Any, mesh: Mesh, scan_axis: bool = False) -> Any:

@@ -48,16 +48,21 @@ def test_throughput_yml_is_final_at_4x_batch():
     assert tp.TRAIN.ST_BATCH_SIZE == 4 * final.TRAIN.ST_BATCH_SIZE == 72
     # the measured 2,761 f/s point is the bf16 compute path (fp32 params)
     assert tp.COMPUTE_DTYPE == "bfloat16" and final.COMPUTE_DTYPE == "float32"
-    same = {"IM_BATCH_SIZE", "ST_BATCH_SIZE"}
+    # every shared field must match, not a hand-picked subset — the only
+    # deliberate deltas are the preset's name, the bf16 compute path, and
+    # the x4 batch sizes (checked above); anything else is silent drift
+    import dataclasses
+
+    diff_allowed = {"IM_BATCH_SIZE", "ST_BATCH_SIZE"}
     for k, v in final.TRAIN.__dict__.items():
-        if k not in same:
+        if k not in diff_allowed:
             assert getattr(tp.TRAIN, k) == v, f"TRAIN.{k} drifted"
-    for k, v in final.GAN.__dict__.items():
-        assert getattr(tp.GAN, k) == v, f"GAN.{k} drifted"
-    for k in ("CASCADE_MODEL", "SEGMENT_LEARNING", "IMAGE_RATIO",
-              "SEGMENT_RATIO", "VIDEO_LEN", "SCAN_STEPS", "FUSED_UPSAMPLE",
-              "REMAT"):
-        assert getattr(tp, k) == getattr(final, k), f"{k} drifted"
+    for f in dataclasses.fields(type(final)):
+        if f.name in ("CONFIG_NAME", "COMPUTE_DTYPE", "TRAIN"):
+            continue  # documented deltas / TRAIN handled field-by-field
+        assert getattr(tp, f.name) == getattr(final, f.name), (
+            f"{f.name} drifted from final.yml"
+        )
 
 
 def test_cascade_forces_segment_learning(tmp_path):

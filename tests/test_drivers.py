@@ -107,6 +107,23 @@ def test_infer_mesh_sharded_eval_matches_single_device(trained_run):
     np.testing.assert_allclose(ds8[0], ds1[0], rtol=0, atol=2e-6)
 
 
+def test_infer_oversized_mesh_falls_back_to_local_devices(trained_run):
+    """Walking a run trained on MORE chips than this host has (its archived
+    setting.yml carries e.g. MESH_SHAPE "data:16") must not crash eval in
+    make_mesh's device-count assert — eval sharding is a throughput
+    extension, so Infer falls back to the local device set with a warning
+    (round-4 review finding)."""
+    import jax
+
+    cfg, out_dir, (_, _, testloader) = trained_run
+    with pytest.warns(UserWarning, match="falls back"):
+        infer = Infer(cfg.with_updates(MESH_SHAPE="data:16"), out_dir,
+                      load_ckpt=1, rng_seed=3)
+    assert infer.mesh.size == len(jax.devices())  # local fallback
+    fake, _ = infer.sample_videos_np(next(iter(testloader)))
+    assert np.all(np.isfinite(fake))
+
+
 def test_infer_load_epoch_legacy_params_only_snapshot(trained_run):
     """Round-1-format snapshots stored ONLY the params pytree. load_epoch
     must fall back to the legacy reader (drivers.load_epoch except-branch),

@@ -146,6 +146,44 @@ def test_variant_matrix_8dev_matches_1dev(variant):
         )
 
 
+def test_shard_eval_inputs_cache_and_passthrough():
+    """The shared eval-sharding helper (drivers + eval datasets both use it):
+    sharded when the batch divides the mesh, passthrough on ragged tails,
+    and the replicated-variables device_put happens once per distinct
+    variables object (identity-keyed cache — load_epoch swapping the dict
+    must invalidate it, repeated chunks must not re-transfer)."""
+    from cpcsv_tpu.parallel.mesh import shard_eval_inputs
+
+    mesh = make_mesh()
+    variables = {"params": {"w": np.ones((4, 4), np.float32)}}
+    cache: dict = {}
+
+    # divisible batch: arrays sharded over the mesh, variables replicated
+    arrays = (np.zeros((16, 3), np.float32), np.zeros((16, 5), np.float32))
+    (a0, a1), v = shard_eval_inputs(mesh, arrays, variables, cache)
+    assert a0.sharding.spec == batch_sharding(mesh).spec
+    assert v is cache["repl"] and cache["src"] is variables
+    first_repl = cache["repl"]
+
+    # same variables object again: cached replication reused, no new put
+    _, v2 = shard_eval_inputs(mesh, arrays, variables, cache)
+    assert v2 is first_repl
+
+    # load_epoch swaps the dict (new identity): cache must re-replicate
+    variables_b = {"params": {"w": np.zeros((4, 4), np.float32)}}
+    _, v3 = shard_eval_inputs(mesh, arrays, variables_b, cache)
+    assert v3 is not first_repl and cache["src"] is variables_b
+
+    # ragged tail (17 % 8 != 0): passthrough, inputs untouched
+    ragged = (np.zeros((17, 3), np.float32),)
+    (r0,), vr = shard_eval_inputs(mesh, ragged, variables, cache)
+    assert r0 is ragged[0] and vr is variables
+
+    # no mesh: passthrough
+    (p0, p1), vp = shard_eval_inputs(None, arrays, variables, cache)
+    assert p0 is arrays[0] and vp is variables
+
+
 def test_dryrun_multichip_entrypoint():
     """The driver's multi-chip validation must pass on the virtual mesh."""
     import importlib.util, os
