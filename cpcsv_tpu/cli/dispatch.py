@@ -69,6 +69,15 @@ def add_eval_flags(parser):
     return parser
 
 
+def add_debug_flag(parser):
+    """--debug, shared by both CLIs: the reference's takes a value
+    (main_pororo.py:31 / main_clevr.py:41 have no type=, so `--debug 1` is
+    the reference form); nargs="?" accepts both that and the bare switch."""
+    parser.add_argument("--debug", type=_str2bool, nargs="?", const=True,
+                        default=False)
+    return parser
+
+
 def add_compat_flags(parser):
     """Flags the reference parses but never consumes, accepted here so a
     migrating command line does not die on argparse:

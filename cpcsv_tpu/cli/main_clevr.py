@@ -9,13 +9,10 @@ import pprint
 
 
 def parse_args(argv=None):
-    parser = argparse.ArgumentParser(description="Train CP-CSV on CLEVR (TPU)")
-    from cpcsv_tpu.cli.dispatch import _str2bool
+    from cpcsv_tpu.cli.dispatch import add_debug_flag
 
-    # value-taking --debug, like the reference's (main_clevr.py:41 has no
-    # type, so `--debug 1` is the reference form); bare switch also works
-    parser.add_argument("--debug", type=_str2bool, nargs="?", const=True,
-                        default=False)
+    parser = argparse.ArgumentParser(description="Train CP-CSV on CLEVR (TPU)")
+    add_debug_flag(parser)
     parser.add_argument("--cfg", dest="cfg_file", type=str,
                         default=os.path.join(os.path.dirname(__file__), "..", "configs", "clevr.yml"))
     parser.add_argument("--load_ckpt", default=None, type=str)

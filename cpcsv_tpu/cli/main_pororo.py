@@ -21,12 +21,10 @@ from cpcsv_tpu.cli.dispatch import _str2bool  # noqa: F401
 
 
 def parse_args(argv=None):
+    from cpcsv_tpu.cli.dispatch import add_debug_flag
+
     parser = argparse.ArgumentParser(description="Train a CP-CSV story GAN (TPU)")
-    # the reference's --debug takes a value (main_pororo.py:31 has no type,
-    # so `--debug 1` is the reference form); nargs="?" accepts both that and
-    # the bare-switch form
-    parser.add_argument("--debug", type=_str2bool, nargs="?", const=True,
-                        default=False)
+    add_debug_flag(parser)
     parser.add_argument("--cfg", dest="cfg_file", type=str,
                         default=os.path.join(os.path.dirname(__file__), "..", "configs", "final.yml"))
     parser.add_argument("--load_ckpt", default=None, type=str)

@@ -12,7 +12,6 @@ import os
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from cpcsv_tpu.data.transforms import normalize_image
@@ -132,8 +131,10 @@ class StoryGANDataset:
             contents.append(desc)
             if self.keep_real:
                 self._real_cache[i] = np.asarray(item["images"], np.float32)
-        motion = jnp.asarray(np.stack(motions))
-        content = jnp.asarray(np.stack(contents))
+        # host arrays: shard_eval_inputs transfers once into the target
+        # sharding (jnp.asarray here would pay default-device + reshard)
+        motion = np.stack(motions)
+        content = np.stack(contents)
         key = jax.random.fold_in(self.rng, start)
         # data-parallel generation over the mesh: full chunks shard their
         # batch axis, the ragged tail chunk runs unsharded (its own compile

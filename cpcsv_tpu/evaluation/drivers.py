@@ -18,7 +18,6 @@ import os
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from cpcsv_tpu.config import Config
@@ -43,7 +42,11 @@ def _batch_motion_content(cfg: Config, batch):
     desc = np.asarray(batch["description"], np.float32)[:, :, : cfg.TEXT.DIMENSION]
     labels = np.asarray(batch["labels"], np.float32)
     motion = np.concatenate([desc, labels], axis=2)
-    return jnp.asarray(motion), jnp.asarray(desc)
+    # host arrays, NOT jnp: shard_eval_inputs transfers ONCE straight into
+    # the target sharding (a jnp.asarray here would first commit to the
+    # default device and pay a second device->mesh reshard — round-4 review
+    # finding); unsharded, the jitted call transfers on dispatch as before
+    return motion, desc
 
 
 class Infer:

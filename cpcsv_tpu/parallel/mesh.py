@@ -82,17 +82,21 @@ def make_eval_mesh(mesh_shape: str = "") -> Mesh:
 
 def eval_shardings(mesh: Optional[Mesh], batch: int):
     """(batch_sharding, replicate) for an eval/generation forward, or
-    (None, None) to run unsharded. Sharding applies when the mesh is
-    multi-device, the batch divides evenly, and this is a single-process
-    run (multi-host eval would need make_array_from_process_local_data;
-    per-host loader slices already split the work there). The fallback is
-    not an error: eval chunk tails are legitimately ragged."""
-    if (
-        mesh is not None
-        and mesh.size > 1
-        and batch % mesh.size == 0
-        and jax.process_count() == 1
-    ):
+    (None, None) to run unsharded. Sharding applies when the mesh's DATA
+    axis is multi-device, the batch divides that axis evenly, and this is a
+    single-process run (multi-host eval would need
+    make_array_from_process_local_data; per-host loader slices already
+    split the work there). The fallback is not an error: eval chunk tails
+    are legitimately ragged.
+
+    The divisor is the "data" axis extent, NOT mesh.size: batch_sharding
+    only partitions over P("data"), so on a multi-axis mesh (make_mesh
+    "data:4,model:2") a batch of 4 is shardable even though 4 % 8 != 0 —
+    the other axes just replicate the forward (round-4 review finding)."""
+    if mesh is None or jax.process_count() > 1:
+        return None, None
+    data = dict(mesh.shape).get(DATA_AXIS, 1)
+    if data > 1 and batch % data == 0:
         return batch_sharding(mesh), replicate(mesh)
     return None, None
 

@@ -146,6 +146,26 @@ def test_variant_matrix_8dev_matches_1dev(variant):
         )
 
 
+def test_eval_shardings_divide_by_data_axis_not_mesh_size():
+    """On a multi-axis mesh, eval sharding partitions over P("data") only,
+    so divisibility must be checked against the data-axis extent — checking
+    mesh.size (round-4 review finding) silently declined shardable batches
+    (4 % 8 != 0) and accepted batches the data axis can't split."""
+    from cpcsv_tpu.parallel.mesh import eval_shardings
+
+    mesh = make_mesh("data:4,model:2")
+    batch_sh, repl = eval_shardings(mesh, 4)  # divides data:4, not size 8
+    assert batch_sh is not None and repl is not None
+    assert batch_sh.spec == batch_sharding(mesh).spec
+
+    batch_sh, _ = eval_shardings(mesh, 6)  # ragged vs data:4 -> decline
+    assert batch_sh is None
+
+    # no "data" axis at all (extent 1): never shard
+    batch_sh, _ = eval_shardings(make_mesh("replica:8"), 8)
+    assert batch_sh is None
+
+
 def test_shard_eval_inputs_cache_and_passthrough():
     """The shared eval-sharding helper (drivers + eval datasets both use it):
     sharded when the batch divides the mesh, passthrough on ragged tails,
