@@ -49,6 +49,13 @@ def main(argv=None):
 
     import jax
 
+    # Converters never need the accelerator; a dead TPU tunnel hangs
+    # backend init forever (site hook pins JAX_PLATFORMS=axon before env
+    # vars can act). Force CPU before the first backend touch; under
+    # pytest conftest already pinned "cpu", so the guard skips.
+    if jax.config.jax_platforms != "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     from cpcsv_tpu.config import config_from_file
     from cpcsv_tpu.models.factory import build_models
     from cpcsv_tpu.train.checkpoint import CheckpointManager

@@ -118,6 +118,15 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+
+    # Checkpoint conversion never needs an accelerator, and a dead TPU
+    # tunnel hangs backend init forever (env vars are too late: the site
+    # hook pre-imports jax — same pitfall utils/benchutil.add_cpu_flag
+    # documents). Force the CPU backend before the first backend touch;
+    # under pytest conftest already pinned "cpu", so the guard skips.
+    if jax.config.jax_platforms != "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     import torch
 
     from cpcsv_tpu.config import config_from_file
