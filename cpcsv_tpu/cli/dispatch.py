@@ -26,25 +26,20 @@ def _str2bool(v: str) -> bool:
 
 
 def dispatch(cfg, args, output_dir, imageloader, storyloader, testloader):
-    if args.eval_fid:
+    if (args.eval_fid or args.eval_fvd or args.eval_is or args.eval_ssim
+            or args.load_ckpt is not None):
+        # deferred relative to module import so the train path stays light
         from cpcsv_tpu.evaluation.drivers import Infer
 
+    if args.eval_fid:
         Infer(cfg, output_dir).eval_fid2(testloader)
     elif args.eval_fvd:
-        from cpcsv_tpu.evaluation.drivers import Infer
-
         Infer(cfg, output_dir).eval_fvd(testloader)
     elif args.eval_is:
-        from cpcsv_tpu.evaluation.drivers import Infer
-
         Infer(cfg, output_dir).eval_is(testloader)
     elif args.eval_ssim:
-        from cpcsv_tpu.evaluation.drivers import Infer
-
         Infer(cfg, output_dir).eval_ssim_walk(testloader)
     elif args.load_ckpt is not None:
-        from cpcsv_tpu.evaluation.drivers import Infer
-
         infer = Infer(cfg, output_dir, load_ckpt=args.load_ckpt)
         infer.inference_samples(
             testloader, os.path.join(output_dir, "Evaluation", "samples")

@@ -15,8 +15,9 @@ import argparse
 import os
 import pprint
 
-# re-exported for backward compatibility (bench.py and older callers
-# import it from here); the definition lives in the shared CLI layer
+# re-exported for backward compatibility with external scripts that
+# imported it from here before the shared CLI layer existed; no in-repo
+# caller remains (bench.py/benchutil import from cpcsv_tpu.cli.dispatch)
 from cpcsv_tpu.cli.dispatch import _str2bool  # noqa: F401
 
 

@@ -77,9 +77,12 @@ class Infer:
         # extension, numerically identical to the 1-device walk. Unlike
         # training, a configured mesh that does not fit THIS host (walking a
         # run trained on more chips) falls back to the local device set.
+        from cpcsv_tpu.ops.dynamic_filter import pallas_dfn_active
         from cpcsv_tpu.parallel.mesh import make_eval_mesh
 
-        self.mesh = make_eval_mesh(cfg.MESH_SHAPE)
+        self.mesh = make_eval_mesh(
+            cfg.MESH_SHAPE, unshardable=pallas_dfn_active(cfg.USE_PALLAS)
+        )
         self._shard_cache: dict = {}
         self.rng = jax.random.PRNGKey(rng_seed)
         self.fid_weights = fid_weights

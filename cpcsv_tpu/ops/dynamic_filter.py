@@ -19,6 +19,23 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def pallas_dfn_active(cfg_flag: bool | None) -> bool:
+    """Would `dynamic_filter_conv1d` dispatch the Mosaic kernel in this
+    process? cfg.USE_PALLAS, overridden by env CPCSV_USE_PALLAS=0/1 when
+    set; the kernel only engages on the TPU backend. Mosaic custom calls
+    carry no GSPMD partitioning rule, so multi-device callers consult this
+    BEFORE jitting a batch-sharded forward: the trainer fails loudly
+    (trainer.py, same rationale as the BN_BACKEND='pallas' guard) and eval
+    falls back to an unsharded walk (parallel/mesh.make_eval_mesh)."""
+    import os
+
+    import jax
+
+    env = os.environ.get("CPCSV_USE_PALLAS")
+    flag = (env == "1") if env is not None else bool(cfg_flag)
+    return flag and jax.default_backend() == "tpu"
+
+
 def dynamic_filter_conv1d(
     image: jnp.ndarray, filters: jnp.ndarray, pad: int, use_pallas: bool | None = None
 ) -> jnp.ndarray:
@@ -31,18 +48,10 @@ def dynamic_filter_conv1d(
     explicit override. The Pallas path only engages on the TPU backend with
     O=1 (the model's only case).
     """
-    import jax
-    import os
-
     B, C, L = image.shape
     _, O, Cf, K = filters.shape
     assert Cf == C, (Cf, C)
-    env = os.environ.get("CPCSV_USE_PALLAS")
-    if env is not None:
-        use_pallas = env == "1"
-    elif use_pallas is None:
-        use_pallas = False
-    if use_pallas and O == 1 and jax.default_backend() == "tpu":
+    if pallas_dfn_active(use_pallas) and O == 1:
         from cpcsv_tpu.ops.pallas.dfn import dfn_pallas
 
         return dfn_pallas(image, filters, pad)

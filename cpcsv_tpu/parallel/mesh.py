@@ -58,7 +58,7 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def make_eval_mesh(mesh_shape: str = "") -> Mesh:
+def make_eval_mesh(mesh_shape: str = "", unshardable: bool = False) -> Mesh:
     """`make_mesh`, but falling back to all local devices when the
     configured mesh does not fit this host. An eval/inference walk of a run
     trained elsewhere (e.g. MESH_SHAPE "data:8" archived in the run's
@@ -67,10 +67,25 @@ def make_eval_mesh(mesh_shape: str = "") -> Mesh:
     semantic requirement (sharded == unsharded samples, tested), so the
     local device set is always a correct substitute. Training keeps the
     strict make_mesh — silently under-sharding a TRAIN run would change
-    the global batch (reference num_gpu semantics, main_pororo.py:64)."""
-    if mesh_shape and mesh_size(mesh_shape) > len(jax.devices()):
-        import warnings
+    the global batch (reference num_gpu semantics, main_pororo.py:64).
 
+    unshardable=True: the generation forward contains an op with no GSPMD
+    partitioning rule (the Pallas DFN kernel — pass
+    ops.dynamic_filter.pallas_dfn_active(cfg.USE_PALLAS)), so return a
+    1-device mesh: eval_shardings then declines and the walk runs
+    unsharded, numerically identical. Warns when that actually narrows a
+    multi-device mesh."""
+    import warnings
+
+    if unshardable:
+        if len(jax.devices()) > 1:
+            warnings.warn(
+                "the Pallas DFN kernel is active and Mosaic custom calls "
+                "have no SPMD partitioning rule — eval generation runs "
+                "unsharded on one device (numerically identical)."
+            )
+        return make_mesh(f"{DATA_AXIS}:1")
+    if mesh_shape and mesh_size(mesh_shape) > len(jax.devices()):
         warnings.warn(
             f"MESH_SHAPE {mesh_shape!r} needs {mesh_size(mesh_shape)} devices "
             f"but only {len(jax.devices())} are visible — eval falls back to "

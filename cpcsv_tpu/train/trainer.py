@@ -98,6 +98,18 @@ class GANTrainer:
                 "partitioning rule for the Pallas reductions); use "
                 "BN_BACKEND='xla' with a multi-device MESH_SHAPE"
             )
+        from cpcsv_tpu.ops.dynamic_filter import pallas_dfn_active
+
+        if pallas_dfn_active(cfg.USE_PALLAS) and self.mesh.size > 1:
+            # same rationale as the BN guard above, for the generator's
+            # Pallas DFN kernel (ops/pallas/dfn.py): it sits inside the
+            # batch-sharded G forward, so a multi-device mesh would hit the
+            # same unpartitionable-custom-call wall.
+            raise ValueError(
+                "USE_PALLAS (Pallas DFN kernel) is single-device only (no "
+                "SPMD partitioning rule for the Mosaic custom call); unset "
+                "it or train with a 1-device MESH_SHAPE"
+            )
         self.models = build_models(cfg)
         self.d_step, self.g_step = make_train_steps(cfg, self.models, ratio=ratio)
         # cfg.SCAN_STEPS > 1: K alternating updates per dispatch (measured

@@ -453,6 +453,22 @@ def test_trainer_rejects_pallas_bn_on_multidevice_mesh(tmp_path):
         GANTrainer(cfg, str(tmp_path / "run_pallas_mesh"), seed=0)
 
 
+def test_trainer_rejects_pallas_dfn_on_multidevice_mesh(tmp_path, monkeypatch):
+    """USE_PALLAS (the generator's Pallas DFN kernel) hits the same
+    no-GSPMD-rule wall as BN_BACKEND='pallas': the trainer must fail loudly
+    on a multi-device mesh. The kernel only engages on the TPU backend
+    (pallas_dfn_active), so fake that; on CPU the flag is inert and a
+    multi-device mesh must stay ALLOWED (second half)."""
+    monkeypatch.delenv("CPCSV_USE_PALLAS", raising=False)
+    cfg = tiny_cfg(cascade=False).with_updates(USE_PALLAS=True)
+    with monkeypatch.context() as m:
+        m.setattr(jax, "default_backend", lambda: "tpu")
+        with pytest.raises(ValueError, match="single-device"):
+            GANTrainer(cfg, str(tmp_path / "run_dfn_mesh"), seed=0)
+    # backend cpu -> kernel never dispatches -> guard must not trip
+    GANTrainer(cfg, str(tmp_path / "run_dfn_mesh_cpu"), seed=0)
+
+
 def test_invalid_backend_knobs_fail_loudly():
     """A typo'd A/B knob must not silently measure the default arm."""
     from cpcsv_tpu.ops.blocks import make_batchnorm

@@ -214,3 +214,46 @@ def test_dryrun_multichip_entrypoint():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_make_eval_mesh_fallbacks():
+    """make_eval_mesh: (a) a configured mesh larger than this host falls
+    back to all local devices with a warning (walking a run trained on more
+    chips must not die in make_mesh's assert); (b) unshardable=True (the
+    Pallas DFN kernel is active in the generator forward — Mosaic custom
+    calls have no GSPMD partitioning rule) narrows to a 1-device mesh so
+    eval_shardings declines and the walk runs unsharded."""
+    from cpcsv_tpu.parallel.mesh import eval_shardings, make_eval_mesh
+
+    with pytest.warns(UserWarning, match="falls back"):
+        mesh = make_eval_mesh("data:16")
+    assert mesh.devices.size == 8
+
+    with pytest.warns(UserWarning, match="partitioning rule"):
+        mesh = make_eval_mesh("", unshardable=True)
+    assert mesh.devices.size == 1
+    assert eval_shardings(mesh, 8) == (None, None)
+
+    # fits + shardable: no warning, normal mesh
+    assert make_eval_mesh("data:4").devices.size == 4
+
+
+def test_pallas_dfn_active_gating(monkeypatch):
+    """pallas_dfn_active: cfg flag gated by backend; env CPCSV_USE_PALLAS
+    overrides the flag in BOTH directions. This predicate is what keeps the
+    unpartitionable Mosaic DFN kernel out of sharded programs (trainer
+    guard + make_eval_mesh unshardable), so its table must be exact."""
+    from cpcsv_tpu.ops.dynamic_filter import pallas_dfn_active
+
+    monkeypatch.delenv("CPCSV_USE_PALLAS", raising=False)
+    assert pallas_dfn_active(True) is False  # cpu backend -> never dispatches
+    assert pallas_dfn_active(None) is False
+
+    with monkeypatch.context() as m:
+        m.setattr(jax, "default_backend", lambda: "tpu")
+        assert pallas_dfn_active(True) is True
+        assert pallas_dfn_active(False) is False
+        m.setenv("CPCSV_USE_PALLAS", "0")  # env wins over cfg True
+        assert pallas_dfn_active(True) is False
+        m.setenv("CPCSV_USE_PALLAS", "1")  # env wins over cfg False
+        assert pallas_dfn_active(False) is True
