@@ -26,24 +26,29 @@ def _str2bool(v: str) -> bool:
 
 
 def dispatch(cfg, args, output_dir, imageloader, storyloader, testloader):
-    if (args.eval_fid or args.eval_fvd or args.eval_is or args.eval_ssim
-            or args.load_ckpt is not None):
+    # one predicate drives BOTH the deferred import and the branch ladder, so
+    # a future eval flag added to the ladder cannot silently miss the import
+    # (it would fall into the else/train branch instead — reviewable, not a
+    # NameError at dispatch time)
+    wants_infer = (args.eval_fid or args.eval_fvd or args.eval_is
+                   or args.eval_ssim or args.load_ckpt is not None)
+    if wants_infer:
         # deferred relative to module import so the train path stays light
         from cpcsv_tpu.evaluation.drivers import Infer
 
-    if args.eval_fid:
-        Infer(cfg, output_dir).eval_fid2(testloader)
-    elif args.eval_fvd:
-        Infer(cfg, output_dir).eval_fvd(testloader)
-    elif args.eval_is:
-        Infer(cfg, output_dir).eval_is(testloader)
-    elif args.eval_ssim:
-        Infer(cfg, output_dir).eval_ssim_walk(testloader)
-    elif args.load_ckpt is not None:
-        infer = Infer(cfg, output_dir, load_ckpt=args.load_ckpt)
-        infer.inference_samples(
-            testloader, os.path.join(output_dir, "Evaluation", "samples")
-        )
+        if args.eval_fid:
+            Infer(cfg, output_dir).eval_fid2(testloader)
+        elif args.eval_fvd:
+            Infer(cfg, output_dir).eval_fvd(testloader)
+        elif args.eval_is:
+            Infer(cfg, output_dir).eval_is(testloader)
+        elif args.eval_ssim:
+            Infer(cfg, output_dir).eval_ssim_walk(testloader)
+        else:  # --load_ckpt N
+            infer = Infer(cfg, output_dir, load_ckpt=args.load_ckpt)
+            infer.inference_samples(
+                testloader, os.path.join(output_dir, "Evaluation", "samples")
+            )
     else:
         from cpcsv_tpu.train.trainer import GANTrainer
 

@@ -123,6 +123,15 @@ class Config:
     # losses/gan_losses.py:infonce_loss.
     USE_INFONCE: bool = False
     INFONCE_TEMPERATURE: float = 1.0
+    # Reproduce the reference's content-tiling mispairing: model.py:361 tiles
+    # the CA-Net content code with `r_mu.repeat(video_len, 1)`, pairing frame
+    # (b, t) with the content code of sample (b*T+t) % B — a cross-sample
+    # mispairing the reference's shipped checkpoints were TRAINED with.
+    # Default False = corrected per-sample pairing. tools/port_reference_run.py
+    # writes `TORCH_REPEAT_QUIRK: true` into the imported run's setting.yml so
+    # eval walks of reference checkpoints reproduce reference pairing
+    # (the two tilings coincide at B=1 and diverge at B>1).
+    TORCH_REPEAT_QUIRK: bool = False
     # BatchNorm backend: "xla" (flax nn.BatchNorm) | "pallas"
     # (ops/batchnorm.py — identical semantics/variable layout, channel
     # reductions as Pallas kernels at ~800 GB/s vs XLA's ~300-480 on v5e;

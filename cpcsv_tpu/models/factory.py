@@ -31,6 +31,7 @@ def generator_from_config(cfg: Config, video_len: int | None = None) -> StoryGen
         text_dim=cfg.TEXT.DIMENSION,
         use_segment=cfg.SEGMENT_LEARNING,
         cascade=cfg.CASCADE_MODEL,
+        torch_repeat_quirk=cfg.TORCH_REPEAT_QUIRK,
         remat=cfg.REMAT,
         use_pallas=cfg.USE_PALLAS,
         fused_upsample=cfg.FUSED_UPSAMPLE,

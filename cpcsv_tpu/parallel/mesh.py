@@ -78,7 +78,14 @@ def make_eval_mesh(mesh_shape: str = "", unshardable: bool = False) -> Mesh:
     import warnings
 
     if unshardable:
-        if len(jax.devices()) > 1:
+        # warn only when this actually narrows the mesh that WOULD have been
+        # built (cfg mesh capped at local devices) — a run configured
+        # MESH_SHAPE "data:1" loses nothing and gets no warning
+        would_build = min(
+            mesh_size(mesh_shape) if mesh_shape else len(jax.devices()),
+            len(jax.devices()),
+        )
+        if would_build > 1:
             warnings.warn(
                 "the Pallas DFN kernel is active and Mosaic custom calls "
                 "have no SPMD partitioning rule — eval generation runs "

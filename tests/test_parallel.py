@@ -237,6 +237,16 @@ def test_make_eval_mesh_fallbacks():
     # fits + shardable: no warning, normal mesh
     assert make_eval_mesh("data:4").devices.size == 4
 
+    # unshardable on a run CONFIGURED 1-device: nothing is narrowed, so no
+    # warning (round-4 advisor finding — the old gate used raw local device
+    # count and warned spuriously on multi-device hosts)
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        mesh = make_eval_mesh("data:1", unshardable=True)
+    assert mesh.devices.size == 1
+
 
 def test_pallas_dfn_active_gating(monkeypatch):
     """pallas_dfn_active: cfg flag gated by backend; env CPCSV_USE_PALLAS

@@ -222,3 +222,52 @@ def test_import_rejects_config_mismatch(imported_run, tmp_path):
                 "--out", str(tmp_path / "bad_out"),
             ]
         )
+
+
+def test_imported_run_setting_yml_pins_reference_semantics(imported_run):
+    """The porter writes setting.yml with TORCH_REPEAT_QUIRK: true (the
+    content tiling the reference's checkpoints were trained with, reference
+    model.py:361) and every parity-relevant key of the source cfg must
+    round-trip through it — `--cfg {run}/setting.yml` is the documented way
+    to walk an imported run."""
+    import yaml
+
+    setting = os.path.join(imported_run["out_dir"], "setting.yml")
+    assert os.path.exists(setting)
+    cfg = config_from_file(setting)
+    assert cfg.TORCH_REPEAT_QUIRK is True
+    # the quirk must actually reach the model the factory builds
+    assert generator_from_config(cfg).torch_repeat_quirk is True
+
+    src_cfg = config_from_file(imported_run["cfg_file"])
+    for key in (
+        "CONFIG_NAME", "DATASET_NAME", "VIDEO_LEN", "LABEL_NUM",
+        "SEGMENT_LEARNING", "CASCADE_MODEL", "USE_SEQ_CONSISTENCY",
+        "IMSIZE", "SESIZE",
+    ):
+        assert getattr(cfg, key) == getattr(src_cfg, key), key
+    assert cfg.TEXT == src_cfg.TEXT
+    assert cfg.GAN == src_cfg.GAN
+    # raw YAML sanity: safe_load of what we dumped must merge cleanly
+    with open(setting) as f:
+        raw = yaml.safe_load(f)
+    assert raw["TORCH_REPEAT_QUIRK"] is True
+
+
+def test_import_respects_explicit_quirk_key(imported_run, tmp_path):
+    """An explicit TORCH_REPEAT_QUIRK in the source cfg wins over the
+    porter's reference-parity default."""
+    cfg_file = tmp_path / "explicit.yml"
+    cfg_file.write_text(CFG_YML + "TORCH_REPEAT_QUIRK: False\n")
+    src = os.path.join(
+        os.path.dirname(imported_run["out_dir"]), "ref_run", "Model"
+    )
+    out = port_main(
+        [
+            "--cfg", str(cfg_file),
+            "--src", src,
+            "--out", str(tmp_path / "explicit_out"),
+        ]
+    )
+    cfg = config_from_file(os.path.join(out, "setting.yml"))
+    assert cfg.TORCH_REPEAT_QUIRK is False

@@ -160,8 +160,65 @@ class TorchMiniG(nn.Module):
             outs.append(F.conv1d(img[:, i], c_filter[i], padding=self.fs // 2))
         return torch.cat(outs, 0).squeeze(1)
 
+    # ---- full reference forward paths with injectable noise ----
+    def ref_mocornn(self, motion, content):
+        """reference model.py:336-346 context GRU unroll."""
+        if motion.dim() == 2:
+            motion = motion.unsqueeze(1)
+        h = self.c_net(content)
+        hs = []
+        for t in range(motion.shape[1]):
+            h = self.mocornn(motion[:, t], h)
+            hs.append(h)
+        return torch.stack(hs, dim=1).reshape(-1, hs[0].shape[1])
 
-def _mini_flax(cascade, fused_upsample="off"):
+    def ref_z_motion(self, m_code, h0n, stepn):
+        """reference model.py:321-334 Text2Gist unroll; h0n/stepn injected
+        in place of the reference's in-place normal_ draws."""
+        if m_code.dim() == 2:
+            m_code = m_code.unsqueeze(1).repeat(1, stepn.shape[1], 1)
+        h = self.m_net(h0n)
+        hs = []
+        for t in range(stepn.shape[1]):
+            e_t = torch.cat([stepn[:, t], m_code[:, t]], dim=1)
+            h = self.recurrent(e_t, h)
+            hs.append(h)
+        return torch.stack(hs, dim=1).reshape(-1, hs[0].shape[1])
+
+    def ref_sample_videos(self, motion, content, eps, h0n, stepn, quirk):
+        """reference model.py:348-423 sample_videos, end to end. `quirk`
+        selects the reference's content tiling (model.py:361
+        `r_mu.repeat(video_len, 1)` — row i gets r_mu[i % B]) vs the
+        corrected per-sample repeat_interleave; the two coincide at B=1."""
+        B, T_ = motion.shape[0], motion.shape[1]
+        x = torch.relu(self.ca_net_fc(content.reshape(B, -1)))
+        cond = x.shape[1] // 2
+        r_mu, r_logvar = x[:, :cond], x[:, cond:]
+        r_code = r_mu + torch.exp(0.5 * r_logvar) * eps
+        if quirk:
+            c_mu = r_mu.repeat(T_, 1)
+        else:
+            c_mu = r_mu.repeat_interleave(T_, dim=0)
+        crnn = self.ref_mocornn(motion, r_code)
+        zm = self.ref_z_motion(motion, h0n, stepn)
+        mc = self.dfn(motion.reshape(-1, motion.shape[2]), crnn)
+        return self.decode(torch.cat([zm, c_mu, mc], dim=1))
+
+    def ref_sample_images(self, motion, content, h0n, stepn):
+        """reference model.py:426-483 sample_images (single-frame path;
+        the CA draw happens there too but c_code is discarded — only c_mu
+        feeds the trunk, so no eps argument)."""
+        B = motion.shape[0]
+        x = torch.relu(self.ca_net_fc(content.reshape(B, -1)))
+        cond = x.shape[1] // 2
+        c_mu = x[:, :cond]
+        crnn = self.ref_mocornn(motion, c_mu)
+        zm = self.ref_z_motion(motion, h0n, stepn)
+        mc = self.dfn(motion, crnn)
+        return self.decode(torch.cat([zm, c_mu, mc], dim=1))
+
+
+def _mini_flax(cascade, fused_upsample="off", torch_repeat_quirk=False):
     return StoryGenerator(
         video_len=T,
         motion_dim=MOTION,
@@ -176,6 +233,7 @@ def _mini_flax(cascade, fused_upsample="off"):
         filter_size=FS,
         image_size=IMSIZE_F,
         fused_upsample=fused_upsample,
+        torch_repeat_quirk=torch_repeat_quirk,
     )
 
 
@@ -250,3 +308,126 @@ def test_ported_ca_net_and_dfn_match_torch():
     with jax.default_matmul_precision("highest"):
         mc = gen.apply(variables, m_flat, crnn, method=flax_dfn)
     np.testing.assert_allclose(np.asarray(mc), t_mc.numpy(), rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Full-path parity: sample_videos / sample_images end-to-end at B >= 3 with
+# IDENTICAL noise, parametrized over both content tilings. This is the test
+# the decode-only pin above cannot replace: the model.py:361 tiling
+# mispairing (and any flatten-order slip) only shows at B > 1 on the full
+# path. Noise sharing: jax.random.normal is tapped during the (eager) flax
+# forward and the recorded draws are injected into the torch replica.
+# ---------------------------------------------------------------------------
+
+def _tap_noise(monkeypatch):
+    draws = []
+    real = jax.random.normal
+
+    def tap(key, shape=(), dtype=jnp.float32):
+        x = real(key, shape, dtype)
+        # flax validates param shapes by running init_fns under
+        # jax.eval_shape (core/scope.py), which also hits this tap with
+        # tracers — only concrete noise draws are the model's sampling
+        if not isinstance(x, jax.core.Tracer):
+            draws.append(np.asarray(x, np.float32))
+        return x
+
+    monkeypatch.setattr(jax.random, "normal", tap)
+    return draws
+
+
+@pytest.mark.parametrize("quirk", [False, True])
+@pytest.mark.parametrize("cascade", [False, True])
+def test_full_path_sample_videos_matches_torch(cascade, quirk, monkeypatch):
+    torch.manual_seed(2)
+    tm = TorchMiniG(cascade).eval()
+    variables = port_generator_state_dict(
+        tm.state_dict_ref_names(), use_segment=True, cascade=cascade
+    )
+    gen = _mini_flax(cascade, torch_repeat_quirk=quirk)
+    rng = np.random.default_rng(2)
+    B = 4  # > video_len would also work; what matters is B > 1
+    motion = rng.standard_normal((B, T, MOTION)).astype(np.float32)
+    content = rng.standard_normal((B, T, TEXT)).astype(np.float32)
+
+    draws = _tap_noise(monkeypatch)
+    with jax.default_matmul_precision("highest"):
+        out = gen.apply(
+            variables, jnp.asarray(motion), jnp.asarray(content), True, False,
+            method="sample_videos", rngs={"noise": jax.random.PRNGKey(7)},
+        )
+    # draw order pinned: CA eps, motion-GRU h0, per-step noise
+    assert [d.shape for d in draws] == [(B, COND), (B, MOTION), (B, T, NOISE)]
+    eps, h0n, stepn = (torch.tensor(d) for d in draws)
+    with torch.no_grad():
+        t_img, t_mask = tm.ref_sample_videos(
+            torch.tensor(motion), torch.tensor(content), eps, h0n, stepn, quirk
+        )
+
+    video = np.asarray(out.image)  # (B, T, 64, 64, 3)
+    flat = video.reshape(-1, *video.shape[2:]).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(flat, t_img.numpy(), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out.seg).transpose(0, 3, 1, 2), t_mask.numpy(),
+        rtol=2e-3, atol=2e-3,
+    )
+
+
+@pytest.mark.parametrize("cascade", [False, True])
+def test_full_path_sample_images_matches_torch(cascade, monkeypatch):
+    torch.manual_seed(3)
+    tm = TorchMiniG(cascade).eval()
+    variables = port_generator_state_dict(
+        tm.state_dict_ref_names(), use_segment=True, cascade=cascade
+    )
+    gen = _mini_flax(cascade)
+    rng = np.random.default_rng(3)
+    B = 4
+    motion = rng.standard_normal((B, MOTION)).astype(np.float32)
+    content = rng.standard_normal((B, T, TEXT)).astype(np.float32)
+
+    draws = _tap_noise(monkeypatch)
+    with jax.default_matmul_precision("highest"):
+        out = gen.apply(
+            variables, jnp.asarray(motion), jnp.asarray(content), True, False,
+            method="sample_images", rngs={"noise": jax.random.PRNGKey(9)},
+        )
+    assert [d.shape for d in draws] == [(B, COND), (B, MOTION), (B, 1, NOISE)]
+    _eps, h0n, stepn = (torch.tensor(d) for d in draws)
+    with torch.no_grad():
+        t_img, t_mask = tm.ref_sample_images(
+            torch.tensor(motion), torch.tensor(content), h0n, stepn
+        )
+    np.testing.assert_allclose(
+        np.asarray(out.image).transpose(0, 3, 1, 2), t_img.numpy(),
+        rtol=2e-3, atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.seg).transpose(0, 3, 1, 2), t_mask.numpy(),
+        rtol=2e-3, atol=2e-3,
+    )
+
+
+def test_repeat_quirk_changes_output_at_batch_gt1():
+    """Sanity for the parametrization above: the two tilings genuinely
+    diverge at B > 1 (at B = 1 they coincide, which is why the old
+    decode-only test could never catch a quirk slip)."""
+    torch.manual_seed(4)
+    tm = TorchMiniG(False).eval()
+    variables = port_generator_state_dict(
+        tm.state_dict_ref_names(), use_segment=True, cascade=False
+    )
+    rng = np.random.default_rng(4)
+    B = 4
+    motion = rng.standard_normal((B, T, MOTION)).astype(np.float32)
+    content = rng.standard_normal((B, T, TEXT)).astype(np.float32)
+
+    outs = {}
+    for quirk in (False, True):
+        gen = _mini_flax(False, torch_repeat_quirk=quirk)
+        out = gen.apply(
+            variables, jnp.asarray(motion), jnp.asarray(content), False, False,
+            method="sample_videos", rngs={"noise": jax.random.PRNGKey(11)},
+        )
+        outs[quirk] = np.asarray(out.image)
+    assert not np.allclose(outs[False], outs[True], atol=1e-4)

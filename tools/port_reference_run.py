@@ -125,7 +125,15 @@ def main(argv=None):
     # documents). Force the CPU backend before the first backend touch;
     # under pytest conftest already pinned "cpu", so the guard skips.
     if jax.config.jax_platforms != "cpu":
-        jax.config.update("jax_platforms", "cpu")
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError as e:
+            # a non-CPU backend is already initialized (main() invoked
+            # programmatically after a backend touch) — conversion will run
+            # on that backend; only a DEAD tunnel is a problem, and that
+            # would have hung the earlier touch, not this one
+            print(f"note: could not force the CPU backend ({e}); "
+                  "continuing on the already-initialized one")
 
     import torch
 
@@ -275,6 +283,31 @@ def main(argv=None):
                 "needs the discriminator checkpoints above; `--continue_ckpt "
                 "auto` on this run dir will start fresh"
             )
+
+    # ---- setting.yml: pin reference-default semantics for eval walks ----
+    # The reference's shipped checkpoints were TRAINED with the model.py:361
+    # content-tiling mispairing; write the run config with TORCH_REPEAT_QUIRK
+    # on (unless the source cfg pins it explicitly) so
+    # `--cfg {out_dir}/setting.yml` eval walks reproduce reference pairing.
+    import yaml
+
+    with open(args.cfg) as f:
+        raw_cfg = yaml.safe_load(f) or {}
+    if "TORCH_REPEAT_QUIRK" in raw_cfg:
+        print(
+            f"setting.yml: keeping explicit TORCH_REPEAT_QUIRK="
+            f"{raw_cfg['TORCH_REPEAT_QUIRK']} from {args.cfg}"
+        )
+    else:
+        raw_cfg["TORCH_REPEAT_QUIRK"] = True
+        print(
+            "setting.yml: TORCH_REPEAT_QUIRK: true (reference model.py:361 "
+            "content tiling — what the imported checkpoints were trained with)"
+        )
+    setting_path = os.path.join(out_dir, "setting.yml")
+    with open(setting_path, "w") as f:
+        yaml.safe_dump(raw_cfg, f, sort_keys=False)
+    print(f"wrote {setting_path}; pass it as --cfg when walking this run")
 
     print(f"imported {len(epochs)} generator snapshot(s) into {out_dir}")
     return out_dir
