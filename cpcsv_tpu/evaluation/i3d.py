@@ -143,6 +143,104 @@ class I3D(nn.Module):
 
 
 # --------------------------------------------------------------------------
+#: TF branch dir -> flax unit name for 1x1 ("a") and 3x3 ("b") convs. The
+#: TF-Hub module names units by kernel, e.g. Branch_1/Conv3d_0a_1x1 then
+#: Conv3d_0b_3x3 (kinetics-i3d); Mixed_5b misnames its Branch_2 3x3 conv
+#: `Conv3d_0a_3x3` (a known checkpoint quirk), so dispatch is on the kernel
+#: suffix, not the 0a/0b ordinal.
+_TF_BRANCH_UNITS = {
+    "Branch_0": {"1x1": "b0"},
+    "Branch_1": {"1x1": "b1a", "3x3": "b1b"},
+    "Branch_2": {"1x1": "b2a", "3x3": "b2b"},
+    "Branch_3": {"1x1": "b3b"},
+}
+
+
+def load_tf_i3d_variables(arrays) -> dict:
+    """Convert the reference's NATIVE FVD artifact: the TF-Hub
+    `i3d-kinetics-400` module's variable map (reference
+    fvd/frechet_video_distance.py:55-70), exported to .npz with names like
+    `RGB/inception_i3d/Mixed_3b/Branch_0/Conv3d_0a_1x1/conv_3d/w` (a leading
+    `module/` prefix and trailing `:0` from `tf.Variable.name` are accepted
+    and stripped — see the export snippet in MIGRATION.md).
+
+    Layout facts this relies on: TF conv kernels are already (t, h, w, in,
+    out) = flax layout, no transpose; the module's BatchNorm is center-only
+    (beta, no gamma) with broadcast-shaped (1,1,1,1,C) stats, so scale is
+    filled with ones unless a gamma is present; the logits unit is
+    `Logits/Conv3d_0c_1x1` with a bias and no BN.
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, path, leaf):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = leaf
+
+    for raw_name, value in arrays.items():
+        name = raw_name.split(":")[0]
+        if "inception_i3d/" in name:
+            name = name.split("inception_i3d/", 1)[1]
+        parts = name.split("/")
+        v = np.asarray(value)
+        if parts[0].startswith("Conv3d_"):
+            module_path = [parts[0]]
+        elif parts[0] == "Logits":
+            module_path = ["logits"]
+        elif parts[0].startswith("Mixed_"):
+            units = _TF_BRANCH_UNITS.get(parts[1])
+            if units is None:
+                raise ValueError(f"unrecognized I3D branch in {raw_name!r}")
+            kernel = "3x3" if parts[2].endswith("3x3") else "1x1"
+            module_path = [parts[0], units[kernel]]
+        else:
+            continue  # e.g. a Flow/ tower or optimizer slot — not ours
+
+        sub, leaf = parts[-2], parts[-1]
+        if sub == "conv_3d":
+            if leaf == "w":
+                put(params, module_path + ["conv3d", "kernel"], v)
+            elif leaf == "b":
+                put(params, module_path + ["conv3d", "bias"], v.reshape(-1))
+        elif sub == "batch_norm":
+            c = v.reshape(-1)  # (1,1,1,1,C) broadcast shape -> (C,)
+            if leaf == "beta":
+                put(params, module_path + ["bn", "bias"], c)
+            elif leaf == "gamma":
+                put(params, module_path + ["bn", "scale"], c)
+            elif leaf == "moving_mean":
+                put(stats, module_path + ["bn", "mean"], c)
+            elif leaf == "moving_variance":
+                put(stats, module_path + ["bn", "var"], c)
+
+    def fill_scales(p_node):
+        for key, child in p_node.items():
+            if key == "bn":
+                if "scale" not in child and "bias" in child:
+                    child["scale"] = np.ones_like(child["bias"])
+            elif isinstance(child, dict):
+                fill_scales(child)
+
+    fill_scales(params)
+    if not params:
+        raise ValueError("no TF-Hub I3D variables recognized in the archive")
+    return {"params": params, "batch_stats": stats}
+
+
+def load_i3d_weights(path: str) -> dict:
+    """Load I3D weights from either supported layout, auto-detected:
+    a TF-Hub variable-map .npz (`load_tf_i3d_variables`) or a
+    piergiaj/pytorch-i3d state_dict (`load_torch_i3d_state_dict`)."""
+    from cpcsv_tpu.evaluation import weights as W
+
+    sd = W.load_state_dict(path)
+    if any("conv_3d/" in k or "inception_i3d" in k for k in sd):
+        return load_tf_i3d_variables(sd)
+    return load_torch_i3d_state_dict(sd)
+
+
 def load_torch_i3d_state_dict(sd) -> dict:
     """Convert a piergiaj/pytorch-i3d `InceptionI3d` state_dict. Its Unit3D
     paths look like `Mixed_3b.b0.conv3d.weight` / `...bn.{weight,bias,
@@ -183,7 +281,7 @@ def make_i3d_embedder(weights_path: str | None = None):
     model = I3D()
     path = W.resolve_weights("i3d_kinetics400", weights_path)
     if path:
-        variables = load_torch_i3d_state_dict(W.load_state_dict(path))
+        variables = load_i3d_weights(path)
     else:
         W.warn_random_init("i3d_kinetics400")
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 10, 64, 64, 3)))

@@ -49,6 +49,7 @@ REGISTRY: dict[str, tuple[str, ...]] = {
     "i3d_kinetics400": (
         "i3d_kinetics400.npz",
         "i3d_rgb_kinetics400.npz",
+        "i3d_tfhub_kinetics400.npz",  # native TF-Hub variable map (MIGRATION.md)
         "i3d_kinetics400.pth",
     ),
 }
