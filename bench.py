@@ -302,23 +302,59 @@ def main():
 
     if watchdog is not None:
         watchdog.cancel()
+    rec = {
+        "metric": "train_frames_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(value / baseline, 3),
+        "ms_per_step": round(dt * 1e3, 2),
+        "ms_per_step_min": round(min(window_dts) * 1e3, 2),
+        "ms_per_step_max": round(max(window_dts) * 1e3, 2),
+        "windows": len(window_dts),
+        "tflops_per_step": round(step_flops / 1e12, 3),
+        "mfu": round(mfu, 4) if on_tpu else None,
+    }
+    print(json.dumps(rec))
+    return rec
+
+
+def run_ab(spec: str):
+    """Same-process A/B: arm A = the current CPCSV_BENCH_OVERRIDES (usually
+    none, i.e. the production default program), arm B = A plus `spec`
+    (e.g. "BN_BACKEND=mxu"). Both arms run their full multi-window
+    readback-closed measurement inside ONE interpreter/tunnel session, so a
+    delta between them cannot be between-day tunnel state (CLAUDE.md: that
+    alone moves single-run figures ~2%). Arms run A then B; each prints its
+    own JSON line tagged with "arm", followed by one delta line."""
+    base = os.environ.get("CPCSV_BENCH_OVERRIDES", "")
+    arms = {"A": base, "B": ",".join(s for s in (base, spec) if s)}
+    recs = {}
+    for name, overrides in arms.items():
+        os.environ["CPCSV_BENCH_OVERRIDES"] = overrides
+        print(json.dumps({"arm": name, "overrides": overrides}), flush=True)
+        recs[name] = main()
+    a, b = recs["A"], recs["B"]
     print(
         json.dumps(
             {
-                "metric": "train_frames_per_sec_per_chip",
-                "value": round(value, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(value / baseline, 3),
-                "ms_per_step": round(dt * 1e3, 2),
-                "ms_per_step_min": round(min(window_dts) * 1e3, 2),
-                "ms_per_step_max": round(max(window_dts) * 1e3, 2),
-                "windows": len(window_dts),
-                "tflops_per_step": round(step_flops / 1e12, 3),
-                "mfu": round(mfu, 4) if on_tpu else None,
+                "metric": "ab_speedup",
+                "ab": spec,
+                "value": round(a["ms_per_step"] / b["ms_per_step"], 4),
+                "unit": "x (A_ms / B_ms; >1 means B is faster)",
+                "a_ms_per_step": a["ms_per_step"],
+                "b_ms_per_step": b["ms_per_step"],
             }
-        )
+        ),
+        flush=True,
     )
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--ab":
+        run_ab(sys.argv[2])
+    elif len(sys.argv) > 1:
+        raise SystemExit(f"usage: bench.py [--ab OVERRIDE_SPEC]; got {sys.argv[1:]}")
+    else:
+        main()

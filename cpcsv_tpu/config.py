@@ -132,11 +132,14 @@ class Config:
     # eval walks of reference checkpoints reproduce reference pairing
     # (the two tilings coincide at B=1 and diverge at B>1).
     TORCH_REPEAT_QUIRK: bool = False
-    # BatchNorm backend: "xla" (flax nn.BatchNorm) | "pallas"
-    # (ops/batchnorm.py — identical semantics/variable layout, channel
-    # reductions as Pallas kernels at ~800 GB/s vs XLA's ~300-480 on v5e;
-    # the round-3 profile put 37% of step time in these reductions).
-    # Measured A/B in PARITY.md before any default change.
+    # BatchNorm backend: "xla" (flax nn.BatchNorm — the measured-fastest
+    # default) | "mxu" (ops/blocks.py MxuBatchNorm — statistic reductions as
+    # MXU matmuls; GSPMD-shardable; measured 0.69x, kept as opt-in) |
+    # "pallas" (ops/batchnorm.py — channel reductions as Pallas kernels;
+    # measured 0.74x, single-device only). Both alternatives LOSE despite
+    # faster isolated reductions because they break XLA's one-pass
+    # cast+stats+normalize convert_reduce fusions — full A/B data in
+    # PARITY.md "Measured perf experiments".
     BN_BACKEND: str = "xla"
     # Adam first-moment storage dtype: "float32" | "bfloat16". bf16 halves
     # the m-buffer HBM traffic of the 4 per-net Adam updates (params, nu and

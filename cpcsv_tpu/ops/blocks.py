@@ -39,11 +39,7 @@ class TorchBatchNorm(nn.BatchNorm):
     @nn.compact
     def __call__(self, x, use_running_average: bool | None = None, *, mask=None):
         from flax.linen import module as _module
-        from flax.linen.normalization import (
-            _canonicalize_axes,
-            _compute_stats,
-            _normalize,
-        )
+        from flax.linen.normalization import _canonicalize_axes, _normalize
 
         use_running_average = _module.merge_param(
             "use_running_average", self.use_running_average, use_running_average
@@ -74,16 +70,7 @@ class TorchBatchNorm(nn.BatchNorm):
                 else jnp.asarray(ra_var.value, self.param_dtype)
             )
         else:
-            mean, var = _compute_stats(
-                x,
-                reduction_axes,
-                dtype=self.dtype,
-                axis_name=self.axis_name if not self.is_initializing() else None,
-                axis_index_groups=self.axis_index_groups,
-                use_fast_variance=self.use_fast_variance,
-                mask=mask,
-                force_float32_reductions=self.force_float32_reductions,
-            )
+            mean, var = self._stats(x, reduction_axes, mask)
             if not self.is_initializing():
                 m = 1
                 for ax in reduction_axes:
@@ -114,18 +101,134 @@ class TorchBatchNorm(nn.BatchNorm):
             self.force_float32_reductions,
         )
 
+    def _stats(self, x, reduction_axes, mask):
+        """Train-mode batch statistics; the one override point for backends
+        that relower the reductions (MxuBatchNorm) without touching flax's
+        normalize/running-update semantics."""
+        from flax.linen.normalization import _compute_stats
+
+        return _compute_stats(
+            x,
+            reduction_axes,
+            dtype=self.dtype,
+            axis_name=self.axis_name if not self.is_initializing() else None,
+            axis_index_groups=self.axis_index_groups,
+            use_fast_variance=self.use_fast_variance,
+            mask=mask,
+            force_float32_reductions=self.force_float32_reductions,
+        )
+
+
+def mxu_moments(x2d):
+    """Channel-wise (mean, mean-of-square) of an (M, C) array in fp32, with
+    both reductions expressed as `dot_general`s so they tile onto the MXU
+    instead of XLA's reduce lowering.
+
+    Hypothesis (round-5 attack on the BN wall): the round-3 device profile
+    (PARITY.md "Round-3 MFU push") measured XLA's BN statistic
+    `convert_reduce_fusion`s at ~300 GB/s of the v5e's 819 GB/s HBM peak —
+    37% of step time — while matmuls stream operands at full bandwidth, so
+    a dot contracting the M axis should read x once at matmul bandwidth.
+
+    MEASURED RESULT (readback-verified same-process A/B, bench.py --ab
+    BN_BACKEND=mxu, final.yml scale): **0.69x — REJECTED as default**
+    (114.45 ms/step vs 79.34; +0.72 TFLOP/step of gram FLOPs). Same failure
+    mechanism as the Pallas-BN rejection (PARITY "Measured perf
+    experiments"): pulling the stats out of XLA's convert_reduce fusions is
+    a fusion BARRIER — x is materialized/re-read for the dots instead of
+    the cast+stats+normalize chain running as one pass, and the diagonal
+    extraction's backward scatters through a full gram. Kept as a tested
+    opt-in: unlike BN_BACKEND='pallas' it is pure XLA (GSPMD-shardable), so
+    it remains the only alternative BN lowering legal on multi-device
+    meshes.
+
+    Numerics: bf16*bf16 products are EXACT in the MXU's fp32 accumulation
+    (8-bit mantissas), so the moments equal the XLA fp32-reduction path up
+    to summation order — pinned by tests/test_ops.py.
+
+    Shapes: C % 128 == 0 -> grouped batched matmul (C/128, 128, 128) keeps
+    the waste at one MXU tile per group (and bounds the gram to C*128
+    elements — the 32768-wide Dense BN head would need a 4 GiB full gram);
+    odd C <= 4096 (124/992/1985... every non-multiple in the model zoo) ->
+    full C x C gram, XLA pads lanes internally without an HBM copy; odd
+    C > 4096 -> zero-pad to the next 128 multiple (materializes a padded
+    copy; no current layer hits this).
+    """
+    M, C = x2d.shape
+    # HIGHEST is a no-op for bf16 operands (single MXU pass either way) but
+    # keeps fp32 inputs exact instead of silently split into bf16 passes.
+    hi = jax.lax.Precision.HIGHEST
+    ones = jnp.ones((1, M), x2d.dtype)
+    s = jax.lax.dot_general(
+        ones, x2d, (((1,), (0,)), ((), ())),
+        precision=hi, preferred_element_type=jnp.float32,
+    )[0]
+    if C % 128 != 0 and C > 4096:
+        x2d = jnp.pad(x2d, ((0, 0), (0, (-C) % 128)))
+    if x2d.shape[1] % 128 == 0:
+        G = x2d.shape[1] // 128
+        xg = x2d.reshape(M, G, 128)
+        gram = jax.lax.dot_general(
+            xg, xg, (((0,), (0,)), ((1,), (1,))),
+            precision=hi, preferred_element_type=jnp.float32,
+        )  # (G, 128, 128)
+        q = jnp.diagonal(gram, axis1=1, axis2=2).reshape(-1)[:C]
+    else:
+        gram = jax.lax.dot_general(
+            x2d, x2d, (((0,), (0,)), ((), ())),
+            precision=hi, preferred_element_type=jnp.float32,
+        )  # (C, C)
+        q = jnp.diagonal(gram)
+    return s / M, q / M
+
+
+class MxuBatchNorm(TorchBatchNorm):
+    """TorchBatchNorm with the train-mode statistic reductions lowered as
+    MXU matmuls (`mxu_moments`) instead of XLA reduces; normalize, running
+    update, and variable layout are inherited unchanged, so checkpoints and
+    the torch porter are unaffected. Pure XLA (no Mosaic custom calls), so
+    unlike BN_BACKEND='pallas' it partitions under GSPMD and is legal on
+    multi-device meshes. Selected via cfg.BN_BACKEND='mxu'. NOTE: measured
+    0.69x vs the XLA default at production scale (see mxu_moments) — an
+    opt-in for experimentation, not a recommendation."""
+
+    def _stats(self, x, reduction_axes, mask):
+        if (
+            mask is not None
+            or self.axis_name is not None  # cross-device pmean path
+            or reduction_axes != tuple(range(x.ndim - 1))
+        ):
+            return super()._stats(x, reduction_axes, mask)
+        mean, mean_sq = mxu_moments(x.reshape(-1, x.shape[-1]))
+        # flax _compute_stats (use_fast_variance): var = E[x^2] - E[x]^2,
+        # clamped at 0 against round-off (normalization.py:_compute_stats)
+        return mean, jnp.maximum(0.0, mean_sq - mean * mean)
+
 
 def make_batchnorm(dtype=None, name: str | None = None, backend: str = "xla"):
     """BatchNorm matching torch defaults. backend:
       "xla"    — flax nn.BatchNorm (default)
+      "mxu"    — MxuBatchNorm: flax semantics, statistic reductions lowered
+                 as MXU matmuls (see mxu_moments; GSPMD-shardable)
       "pallas" — ops.batchnorm.PallasBatchNorm: identical semantics and
                  variable layout, channel reductions as Pallas kernels
                  (~2.5x faster than XLA's lowering on v5e — see
                  ops/pallas/bn.py; selected via cfg.BN_BACKEND)."""
-    if backend not in ("xla", "pallas"):
+    if backend not in ("xla", "mxu", "pallas"):
         # loud failure: a typo'd A/B knob silently measuring the default arm
         # is exactly the measurement artifact this repo's history warns about
-        raise ValueError(f"BN_BACKEND must be 'xla' or 'pallas', got {backend!r}")
+        raise ValueError(
+            f"BN_BACKEND must be 'xla', 'mxu' or 'pallas', got {backend!r}"
+        )
+    if backend == "mxu":
+        return MxuBatchNorm(
+            use_running_average=None,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=dtype,
+            scale_init=bn_scale_init,
+            name=name,
+        )
     if backend == "pallas":
         from cpcsv_tpu.ops.batchnorm import PallasBatchNorm
 

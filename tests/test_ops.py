@@ -167,3 +167,66 @@ def test_dfn_pallas_tile_choice_terminates():
         assert tb >= 8 and (tb & (tb - 1)) == 0  # power of two
         assert bp >= b and bp % tb == 0
         assert bp // tb <= 1024
+
+
+@pytest.mark.parametrize("C", [5, 128, 384, 4100])
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_mxu_moments_matches_numpy(C, dtype):
+    """All three shape paths of the MXU moment kernel (full gram for odd
+    C<=4096, grouped batched gram for C%128==0, pad-then-group for odd
+    C>4096) must reproduce fp64 numpy moments of the same values."""
+    from cpcsv_tpu.ops.blocks import mxu_moments
+
+    rng = np.random.default_rng(11)
+    M = 97
+    x = (rng.standard_normal((M, C)) * 2 + 0.5).astype(np.float32)
+    xj = jnp.asarray(x, getattr(jnp, dtype))
+    x64 = np.asarray(xj, np.float64)  # moments of the values actually fed
+
+    mean, mean_sq = jax.jit(mxu_moments)(xj)
+    assert mean.dtype == jnp.float32 and mean_sq.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(mean), x64.mean(0), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mean_sq), (x64**2).mean(0), rtol=1e-5, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_mxu_batchnorm_matches_xla_backend(dtype):
+    """BN_BACKEND='mxu' must be a pure relowering: train-mode outputs,
+    updated running stats, eval-mode outputs, and input gradients all match
+    the flax/XLA backend on a 4D NHWC tensor (fp32 to summation-order
+    round-off — the near-zero normalize gradients cancel at ~1e-6 scale;
+    bf16 to bf16 resolution, since bf16*bf16 products are exact in fp32
+    accumulation)."""
+    from cpcsv_tpu.ops.blocks import make_batchnorm
+
+    rng = np.random.default_rng(12)
+    x = (rng.standard_normal((4, 6, 6, 129)) * 3 + 1).astype(np.float32)
+    xj = jnp.asarray(x, getattr(jnp, dtype))
+    tol = dict(rtol=1e-4, atol=1e-5) if dtype == "float32" else dict(rtol=2e-2, atol=2e-2)
+
+    outs = {}
+    for backend in ("xla", "mxu"):
+        bn = make_batchnorm(dtype=getattr(jnp, dtype), name="bn", backend=backend)
+        variables = bn.init(jax.random.PRNGKey(0), xj, use_running_average=False)
+
+        @jax.jit
+        def train_step(v, x, bn=bn):
+            def f(x):
+                y, mut = bn.apply(v, x, use_running_average=False,
+                                  mutable=["batch_stats"])
+                return jnp.sum(jnp.square(y.astype(jnp.float32))), (y, mut)
+            (_, (y, mut)), grad = jax.value_and_grad(f, has_aux=True)(x)
+            return y, mut["batch_stats"], grad
+
+        y, stats, grad = train_step(variables, xj)
+        y_eval = jax.jit(
+            lambda v, x, bn=bn: bn.apply(v, x, use_running_average=True)
+        )({"params": variables["params"], "batch_stats": stats}, xj)
+        outs[backend] = jax.tree.map(
+            lambda a: np.asarray(a, np.float32), (y, stats, grad, y_eval)
+        )
+
+    for a, b in zip(jax.tree.leaves(outs["xla"]), jax.tree.leaves(outs["mxu"])):
+        np.testing.assert_allclose(a, b, **tol)
