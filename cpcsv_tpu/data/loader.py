@@ -96,6 +96,21 @@ class DataLoader:
                 batch = batch[lo : lo + local]
             yield batch
 
+    def unsliced(self) -> "DataLoader":
+        """A view of this loader with per-host slicing disabled (full global
+        batches, same shuffle stream). Centralized eval walks use this: in a
+        multi-host run the eval protocol runs entirely on process 0
+        (evaluation/drivers.py), which must see the FULL test set, not its
+        training-time 1/process_count input slice."""
+        if self.process_count == 1:
+            return self
+        import copy
+
+        full = copy.copy(self)
+        full.process_index, full.process_count = 0, 1
+        full._rng = np.random.default_rng(self._seed)
+        return full
+
     def __iter__(self) -> Iterator[dict]:
         # one shared producer-thread/queue/sentinel implementation: decode +
         # collate run on the background thread, depth batches in flight

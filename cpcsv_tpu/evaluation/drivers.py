@@ -14,6 +14,7 @@ The filesystem protocol matches the reference so downstream tooling works:
 from __future__ import annotations
 
 import csv
+import itertools
 import os
 from typing import Optional
 
@@ -36,6 +37,53 @@ from cpcsv_tpu.models import build_models
 from cpcsv_tpu.train.checkpoint import CheckpointManager
 from cpcsv_tpu.train.state import create_train_state
 from cpcsv_tpu.utils.image import save_all_img, save_png
+
+
+_WALK_SEQ = itertools.count()
+
+
+def _walk_barrier(name: str, timeout_min: float = 240.0) -> None:
+    """Coordination-service barrier (no collectives): host 0's walk can take
+    minutes-to-hours, and a gloo/ICI collective dispatched by a waiting host
+    would hit the backend's short rendezvous timeout long before the walk
+    finishes (the exact failure mode tests/_mp_worker.py documents)."""
+    from jax._src import distributed
+
+    distributed.global_state.client.wait_at_barrier(
+        name, timeout_in_ms=int(timeout_min * 60_000)
+    )
+
+
+def _centralized(walk):
+    """Multi-host eval protocol for checkpoint-walk methods (first arg = the
+    test loader): the walk executes on process 0 ONLY, over the FULL
+    (unsliced) loader — every process in an SPMD CLI run reaches the same
+    dispatch branch, and without this gate they would all regenerate the
+    same stories and race appending to the same shared-filesystem CSVs. The
+    reference itself evaluates on a single GPU regardless of training
+    parallelism (inference.py builds no data_parallel), so centralizing is
+    protocol-faithful; scores stay well-defined because process 0 sees the
+    whole test set (DataLoader.unsliced), not its training input slice.
+    Non-zero processes wait at a barrier and return None. Barrier names
+    carry a per-process sequence number — all processes run the identical
+    CLI dispatch, so the Nth decorated call on each pairs up."""
+    import functools
+
+    @functools.wraps(walk)
+    def wrapper(self, loader, *args, **kwargs):
+        if jax.process_count() == 1:
+            return walk(self, loader, *args, **kwargs)
+        name = f"cpcsv_eval_{walk.__name__}_{next(_WALK_SEQ)}"
+        if jax.process_index() != 0:
+            _walk_barrier(name)
+            return None
+        try:
+            full = loader.unsliced() if hasattr(loader, "unsliced") else loader
+            return walk(self, full, *args, **kwargs)
+        finally:
+            _walk_barrier(name)
+
+    return wrapper
 
 
 def _batch_motion_content(cfg: Config, batch):
@@ -252,6 +300,7 @@ class Infer:
         return save_path, ref_dir
 
     # ------------------------------------------------------------------
+    @_centralized
     def eval_fid2(self, testloader, epochs: Optional[list[int]] = None,
                   batch_size: int = 50):
         """Regenerate + folder FID/FSD per checkpoint, newest first
@@ -306,6 +355,7 @@ class Infer:
             print(f"epoch {epoch}: fid={fid:.3f} vfid/fsd={fsd:.3f}{tag}")
         return results
 
+    @_centralized
     def eval_is(self, testloader, epochs: Optional[list[int]] = None,
                 batch_size: int = 32, splits: int = 10):
         """Per-checkpoint Inception Score over regenerated story frames.
@@ -352,6 +402,7 @@ class Infer:
             print(f"epoch {epoch}: IS={mean:.3f}+-{std:.3f}{tag}")
         return results
 
+    @_centralized
     def eval_fvd(self, storyloader, epochs: Optional[list[int]] = None,
                  num_of_video: int = 272):
         """Per-checkpoint FVD (reference inference.py:128-141)."""
@@ -422,6 +473,7 @@ class Infer:
         n = n or len(ds)
         return ssim_score(ds[i] for i in range(n))
 
+    @_centralized
     def eval_ssim_walk(self, testloader, epochs: Optional[list[int]] = None,
                        n: Optional[int] = None):
         """Per-checkpoint SSIM walk. Goes beyond the reference, which ships

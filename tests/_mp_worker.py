@@ -1,7 +1,7 @@
 """Worker for tests/test_multiprocess.py: one process of a 2-process
 jax.distributed data-parallel run on CPU (2 local devices each, 4 global).
 
-Three legs, continuing the same state (the exact production code paths):
+Four legs, continuing the same state (the exact production code paths):
   1. split per-step dispatch (d_step + g_step)        -> MP_METRICS {json}
   2. one make_scan_steps chunk, K=2 stacked batches   -> MP_SCAN_METRICS {json}
      (leading-K axis unsharded, batch axis sharded: P(None, "data") via
@@ -9,6 +9,11 @@ Three legs, continuing the same state (the exact production code paths):
      exactly trainer.py's SCAN_STEPS path)
   3. distributed checkpoint save -> restore -> one more d_step
                                                       -> MP_RESUME_METRICS {json}
+  4. centralized multi-host EVAL: Infer.eval_fid2 over per-host-sliced
+     loaders — the @_centralized protocol runs the whole walk on process 0
+     over the UNSLICED loader while process 1 waits at the coordination
+     barrier                                          -> MP_EVAL_FID {json}
+                                                         / MP_EVAL_WAITED
 
 Usage: python tests/_mp_worker.py <process_id> <coordinator_port> <ckpt_dir>
 """
@@ -159,6 +164,51 @@ def main():
         jax.block_until_ready(restored)
         out3 = {k: float(np.asarray(v)) for k, v in r_metrics.items()}
         print("MP_RESUME_METRICS", json.dumps(out3), flush=True)
+
+    # ---- leg 4: centralized multi-host eval walk (evaluation/drivers.py
+    # @_centralized): process 0 runs eval_fid2 over the FULL test set
+    # (DataLoader.unsliced), process 1 returns None after the barrier. The
+    # checkpoint is a FRESH PRNGKey(0) init (bitwise-reproducible in the
+    # single-process pytest), saved distributed like leg 3.
+    if ckpt_dir:
+        from cpcsv_tpu.data.loader import DataLoader
+        from cpcsv_tpu.data.synthetic import SyntheticStoryDataset
+        from cpcsv_tpu.evaluation.drivers import Infer
+
+        eval_cfg = cfg.with_updates(MESH_SHAPE="data:1", CONFIG_NAME="mp_eval")
+        eval_run = ckpt_dir + "_evalrun"
+        eval_state = create_train_state(eval_cfg, jax.random.PRNGKey(0), models)
+        # the distributed checkpointer saves GLOBAL arrays (leg 3's state
+        # came out of a mesh-sharded jit); a fresh init is process-local, so
+        # replicate it over the global mesh first (identical values on both
+        # hosts — deterministic init — so this is collective-free)
+        from cpcsv_tpu.parallel.mesh import replicate
+
+        eval_state = jax.tree.map(
+            lambda a: jax.device_put(a, replicate(mesh)), eval_state
+        )
+        CheckpointManager(os.path.join(eval_run, "Model")).save(eval_state, 0)
+        testloader = DataLoader(
+            SyntheticStoryDataset(8, cfg.VIDEO_LEN, seed=9),
+            batch_size=4, shuffle=False, drop_last=True,
+            process_index=pid, process_count=2,
+        )
+        results = Infer(eval_cfg, eval_run).eval_fid2(
+            testloader, epochs=[0], batch_size=8
+        )
+        if pid == 0:
+            csv_path = os.path.join(
+                eval_run, "Evaluation", "mp_eval", "fid_score2.csv"
+            )
+            print(
+                "MP_EVAL_FID",
+                json.dumps({"csv": open(csv_path).read(),
+                            "n": len(results)}),
+                flush=True,
+            )
+        else:
+            assert results is None, "non-zero process must not run the walk"
+            print("MP_EVAL_WAITED", json.dumps({"waited": True}), flush=True)
 
     jax.distributed.shutdown()
 

@@ -3,16 +3,19 @@ two jax.distributed processes (2 CPU devices each, 4 global, gloo
 collectives), per-process local input slices assembled into global arrays
 via jax.make_array_from_process_local_data.
 
-Three legs, each the exact production code path (VERDICT r2 #3):
+Four legs, each the exact production code path (VERDICT r2 #3, r4 #5):
   1. split per-step dispatch (d_step + g_step)
   2. the SCAN_STEPS path: one make_scan_steps chunk with K=2 stacked batches
      under P(None, "data") sharding — the leading-K stacking x
      make_array_from_process_local_data interaction that breaks multi-host
      first
   3. distributed checkpoint save -> restore -> continue (auto-resume leg)
+  4. centralized multi-host eval: eval_fid2 over per-host-sliced loaders
+     runs on process 0 only (full unsliced test set), CSV == the
+     single-process walk of the same checkpoint
 
 Asserts: both processes succeed, agree on every metric, all finite, and all
-three legs match a single-process run of the SAME global batch sequence."""
+legs match a single-process run of the SAME global batch sequence."""
 
 import json
 import math
@@ -57,10 +60,11 @@ def test_two_process_train_matches_single_process(tmp_path):
     outs = []
     try:
         for p in procs:
-            # 1500 s: cold-cache compiles (~2 min per scan module per worker,
-            # single host core) fit; warm runs via the shared persistent
-            # compilation cache finish in a few minutes
-            out, _ = p.communicate(timeout=1500)
+            # 2100 s: cold-cache compiles (~2 min per scan module per worker,
+            # single host core, plus leg 4's inception/r2+1d extractors on
+            # process 0) fit; warm runs via the shared persistent compilation
+            # cache finish in a few minutes
+            out, _ = p.communicate(timeout=2100)
             assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
             outs.append(out)
     finally:
@@ -152,3 +156,34 @@ def test_two_process_train_matches_single_process(tmp_path):
 
     # the distributed checkpoint itself landed on disk
     assert os.path.exists(os.path.join(ckpt_dir, "last_epoch.txt"))
+
+    # ---- leg 4: centralized multi-host eval — process 0 walked, process 1
+    # waited; the CSV matches a single-process walk of the SAME checkpoint
+    # (same PRNGKey(0) init, same loader content, same rng_seed noise)
+    eval_m = _parse(outs[0], "MP_EVAL_FID")
+    _parse(outs[1], "MP_EVAL_WAITED")
+    assert eval_m["n"] == 1
+    row = eval_m["csv"].strip().splitlines()[0].split(",")
+    assert int(row[0]) == 0
+
+    from cpcsv_tpu.data.loader import DataLoader
+    from cpcsv_tpu.data.synthetic import SyntheticStoryDataset
+    from cpcsv_tpu.evaluation.drivers import Infer
+    from cpcsv_tpu.train.checkpoint import CheckpointManager
+
+    eval_cfg = cfg.with_updates(MESH_SHAPE="data:1", CONFIG_NAME="mp_eval")
+    sp_run = str(tmp_path / "sp_evalrun")
+    sp_state = create_train_state(eval_cfg, jax.random.PRNGKey(0), models)
+    CheckpointManager(os.path.join(sp_run, "Model")).save(sp_state, 0)
+    testloader = DataLoader(
+        SyntheticStoryDataset(8, cfg.VIDEO_LEN, seed=9),
+        batch_size=4, shuffle=False, drop_last=True,
+    )
+    ref_eval = Infer(eval_cfg, sp_run).eval_fid2(testloader, epochs=[0],
+                                                 batch_size=8)
+    np.testing.assert_allclose(
+        [float(row[1]), float(row[2])],
+        [ref_eval[0]["fid"], ref_eval[0]["vfid"]],
+        rtol=1e-3,
+        err_msg="2-process centralized eval CSV != single-process walk",
+    )

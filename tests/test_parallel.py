@@ -63,6 +63,20 @@ def test_per_host_loader_slices_partition_global_batch():
         np.testing.assert_array_equal(g["x"], merged)
         assert hs[0]["x"].shape[0] == 2  # 8 global / 4 hosts
 
+    # unsliced(): the centralized-eval view of a per-host loader yields the
+    # FULL global batches (drivers.py @_centralized runs eval on process 0
+    # over this view), with the same shuffle stream; the original loader
+    # object is untouched
+    full_view = host_loaders[3].unsliced()
+    assert (full_view.process_index, full_view.process_count) == (0, 1)
+    assert (host_loaders[3].process_index, host_loaders[3].process_count) == (3, 4)
+    # unsliced() resets the shuffle stream to seed-fresh, so compare against
+    # a FRESH global loader (the one above already consumed a permutation)
+    fresh_global = DataLoader(DS(), 8, shuffle=True, drop_last=True, seed=5)
+    for g, f in zip(fresh_global, full_view):
+        np.testing.assert_array_equal(g["x"], f["x"])
+    assert global_loader.unsliced() is global_loader  # no-op single-process
+
 
 def test_per_host_loader_rejects_indivisible_batch():
     from cpcsv_tpu.data.loader import DataLoader
