@@ -42,13 +42,17 @@ from cpcsv_tpu.utils.image import save_all_img, save_png
 _WALK_SEQ = itertools.count()
 
 
-def _walk_barrier(name: str, timeout_min: float = 240.0) -> None:
+def _walk_barrier(name: str, timeout_min: float | None = None) -> None:
     """Coordination-service barrier (no collectives): host 0's walk can take
     minutes-to-hours, and a gloo/ICI collective dispatched by a waiting host
     would hit the backend's short rendezvous timeout long before the walk
-    finishes (the exact failure mode tests/_mp_worker.py documents)."""
+    finishes (the exact failure mode tests/_mp_worker.py documents). The
+    timeout defaults to CPCSV_EVAL_BARRIER_MIN minutes (240 when unset) so
+    an operator whose walk legitimately runs longer can size it."""
     from jax._src import distributed
 
+    if timeout_min is None:
+        timeout_min = float(os.environ.get("CPCSV_EVAL_BARRIER_MIN", "240"))
     distributed.global_state.client.wait_at_barrier(
         name, timeout_in_ms=int(timeout_min * 60_000)
     )
@@ -81,7 +85,14 @@ def _centralized(walk):
             full = loader.unsliced() if hasattr(loader, "unsliced") else loader
             return walk(self, full, *args, **kwargs)
         finally:
-            _walk_barrier(name)
+            try:
+                _walk_barrier(name)
+            except Exception as e:
+                # a waiter that already timed out and died leaves no barrier
+                # partner; that must neither discard the finished walk's
+                # return value/CSVs nor mask an exception from the walk
+                print(f"warning: eval barrier {name!r} failed after the "
+                      f"walk ({e}); walk results are intact")
 
     return wrapper
 
@@ -277,7 +288,18 @@ class Infer:
                 story_id += 1
         return orig_dir, gen_dir
 
+    @_centralized
     def inference_samples(self, storyloader, save_path: str):
+        """Numbered png dump + ./Evaluation/ref (reference miscc/utils.py:402),
+        centralized: this is the --load_ckpt CLI surface, and in a multi-host
+        run every process reaches it — uncentralized, each host would first
+        os.remove() the other's pngs (FileNotFoundError race) and then
+        interleave two per-host slices into one numbered dump. eval_fvd,
+        already running on process 0 only, calls _inference_samples directly
+        (a second barrier inside a centralized walk would deadlock)."""
+        return self._inference_samples(storyloader, save_path)
+
+    def _inference_samples(self, storyloader, save_path: str):
         """Numbered png dump + ./Evaluation/ref (reference miscc/utils.py:402).
 
         Deviation from the reference (which appends into whatever is on
@@ -423,7 +445,7 @@ class Infer:
         for epoch in epochs:
             self.load_epoch(epoch)
             gen_dir = os.path.join(self.eval_dir, f"fvd_epoch_{epoch}")
-            gen_dir, ref_dir = self.inference_samples(storyloader, gen_dir)
+            gen_dir, ref_dir = self._inference_samples(storyloader, gen_dir)
             fvd = calculate_fvd(
                 gen_dir, ref_dir, num_of_video=num_of_video, embedder=embedder
             )

@@ -156,6 +156,15 @@ _TF_BRANCH_UNITS = {
 }
 
 
+def _put(tree, path, leaf):
+    """Insert leaf at a nested path, creating dicts — shared by both weight
+    converters so the two ingestion paths stay structurally aligned."""
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = leaf
+
+
 def load_tf_i3d_variables(arrays) -> dict:
     """Convert the reference's NATIVE FVD artifact: the TF-Hub
     `i3d-kinetics-400` module's variable map (reference
@@ -172,12 +181,7 @@ def load_tf_i3d_variables(arrays) -> dict:
     """
     params: dict = {}
     stats: dict = {}
-
-    def put(tree, path, leaf):
-        node = tree
-        for k in path[:-1]:
-            node = node.setdefault(k, {})
-        node[path[-1]] = leaf
+    put = _put
 
     for raw_name, value in arrays.items():
         name = raw_name.split(":")[0]
@@ -252,11 +256,7 @@ def load_torch_i3d_state_dict(sd) -> dict:
     def arr(t):
         return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
 
-    def put(tree, path, leaf):
-        node = tree
-        for k in path[:-1]:
-            node = node.setdefault(k, {})
-        node[path[-1]] = leaf
+    put = _put
 
     for key, t in sd.items():
         parts = key.split(".")

@@ -197,6 +197,9 @@ class MxuBatchNorm(TorchBatchNorm):
             mask is not None
             or self.axis_name is not None  # cross-device pmean path
             or reduction_axes != tuple(range(x.ndim - 1))
+            # mxu_moments is inherently E[x^2]-E[x]^2 (fast variance); the
+            # two-pass E[(x-mu)^2] the flag requests must fall back to flax
+            or not self.use_fast_variance
         ):
             return super()._stats(x, reduction_axes, mask)
         mean, mean_sq = mxu_moments(x.reshape(-1, x.shape[-1]))

@@ -81,10 +81,9 @@ def make_eval_mesh(mesh_shape: str = "", unshardable: bool = False) -> Mesh:
         # warn only when this actually narrows the mesh that WOULD have been
         # built (cfg mesh capped at local devices) — a run configured
         # MESH_SHAPE "data:1" loses nothing and gets no warning
-        would_build = min(
-            mesh_size(mesh_shape) if mesh_shape else len(jax.devices()),
-            len(jax.devices()),
-        )
+        # mesh_size("") is len(jax.devices()), so the min() is exactly "the
+        # mesh make_mesh would build" for every input
+        would_build = min(mesh_size(mesh_shape), len(jax.devices()))
         if would_build > 1:
             warnings.warn(
                 "the Pallas DFN kernel is active and Mosaic custom calls "

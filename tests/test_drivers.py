@@ -211,3 +211,31 @@ def test_infer_eval_is_csv(trained_run):
     csv_path = os.path.join(infer.eval_dir, "is_score.csv")
     rows = list(csv.reader(open(csv_path)))
     assert rows[-1][0] == "1" and float(rows[-1][1]) == results[0]["is_mean"]
+
+
+def test_inference_samples_is_centralized(monkeypatch, tmp_path):
+    """The --load_ckpt CLI surface reaches inference_samples on EVERY process
+    of a multi-host run; non-zero processes must wait at the barrier and
+    touch neither the filesystem nor the model (round-5 review finding:
+    uncentralized, two hosts race os.remove'ing each other's numbered pngs).
+    eval_fvd (already centralized) must keep calling the undecorated
+    _inference_samples — a nested barrier would deadlock process 0."""
+    from cpcsv_tpu.evaluation import drivers
+
+    barriers = []
+    monkeypatch.setattr(drivers, "_walk_barrier", lambda name: barriers.append(name))
+    monkeypatch.setattr(drivers.jax, "process_count", lambda: 2)
+    monkeypatch.setattr(drivers.jax, "process_index", lambda: 1)
+
+    class UntouchableSelf:
+        def __getattribute__(self, k):
+            raise AssertionError(f"non-zero process touched self.{k}")
+
+    save = str(tmp_path / "samples")
+    out = Infer.inference_samples(UntouchableSelf(), None, save)
+    assert out is None
+    assert len(barriers) == 1
+    assert not os.path.exists(save)
+    # the internal body stays undecorated for eval_fvd's in-walk use
+    assert not hasattr(Infer._inference_samples, "__wrapped__")
+    assert hasattr(Infer.inference_samples, "__wrapped__")

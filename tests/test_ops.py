@@ -230,3 +230,35 @@ def test_mxu_batchnorm_matches_xla_backend(dtype):
 
     for a, b in zip(jax.tree.leaves(outs["xla"]), jax.tree.leaves(outs["mxu"])):
         np.testing.assert_allclose(a, b, **tol)
+
+
+def test_mxu_batchnorm_honors_use_fast_variance_false():
+    """MxuBatchNorm(use_fast_variance=False) must fall back to flax's
+    two-pass E[(x-mu)^2] — mxu_moments is inherently the fast-variance
+    formula, so silently serving it under the flag would be the
+    catastrophic-cancellation case the flag exists to avoid (round-5
+    review finding). Pinned with a large-mean input where the two formulas
+    measurably differ in bf16 reduction dtype."""
+    from cpcsv_tpu.ops.blocks import MxuBatchNorm, TorchBatchNorm, bn_scale_init
+
+    rng = np.random.default_rng(13)
+    x = (rng.standard_normal((64, 128)) * 0.1 + 300.0).astype(np.float32)
+    xj = jnp.asarray(x)
+
+    kwargs = dict(
+        use_running_average=False, momentum=0.9, epsilon=1e-5,
+        scale_init=bn_scale_init, use_fast_variance=False, name="bn",
+    )
+    mxu = MxuBatchNorm(**kwargs)
+    ref = TorchBatchNorm(**kwargs)
+    v = mxu.init(jax.random.PRNGKey(0), xj)
+
+    y_mxu, st_mxu = jax.jit(
+        lambda v, x: mxu.apply(v, x, mutable=["batch_stats"])
+    )(v, xj)
+    y_ref, st_ref = jax.jit(
+        lambda v, x: ref.apply(v, x, mutable=["batch_stats"])
+    )(v, xj)
+    np.testing.assert_array_equal(np.asarray(y_mxu), np.asarray(y_ref))
+    for a, b in zip(jax.tree.leaves(st_mxu), jax.tree.leaves(st_ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -47,22 +47,11 @@ def main(argv=None):
     )
     args = p.parse_args(argv)
 
-    import jax
+    from cpcsv_tpu.utils.backend import force_cpu_backend
 
-    # Converters never need the accelerator; a dead TPU tunnel hangs
-    # backend init forever (site hook pins JAX_PLATFORMS=axon before env
-    # vars can act). Force CPU before the first backend touch; under
-    # pytest conftest already pinned "cpu", so the guard skips.
-    if jax.config.jax_platforms != "cpu":
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except RuntimeError as e:
-            # a non-CPU backend is already initialized (main() invoked
-            # programmatically after a backend touch) — conversion will run
-            # on that backend; only a DEAD tunnel is a problem, and that
-            # would have hung the earlier touch, not this one
-            print(f"note: could not force the CPU backend ({e}); "
-                  "continuing on the already-initialized one")
+    force_cpu_backend()
+
+    import jax
 
     from cpcsv_tpu.config import config_from_file
     from cpcsv_tpu.models.factory import build_models

@@ -117,24 +117,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0, help="init seed for fresh (non-ported) state")
     args = p.parse_args(argv)
 
+    from cpcsv_tpu.utils.backend import force_cpu_backend
+
+    force_cpu_backend()
+
     import jax
-
-    # Checkpoint conversion never needs an accelerator, and a dead TPU
-    # tunnel hangs backend init forever (env vars are too late: the site
-    # hook pre-imports jax — same pitfall utils/benchutil.add_cpu_flag
-    # documents). Force the CPU backend before the first backend touch;
-    # under pytest conftest already pinned "cpu", so the guard skips.
-    if jax.config.jax_platforms != "cpu":
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except RuntimeError as e:
-            # a non-CPU backend is already initialized (main() invoked
-            # programmatically after a backend touch) — conversion will run
-            # on that backend; only a DEAD tunnel is a problem, and that
-            # would have hung the earlier touch, not this one
-            print(f"note: could not force the CPU backend ({e}); "
-                  "continuing on the already-initialized one")
-
     import torch
 
     from cpcsv_tpu.config import config_from_file
