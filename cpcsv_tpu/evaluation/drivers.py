@@ -173,6 +173,22 @@ class Infer:
         return self._sample_jit[seg]
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _host_template(tree):
+        """Numpy-leaf restore template: evaluation restores must be
+        PROCESS-LOCAL. A numpy template makes orbax read full arrays from
+        disk and skip the jax.Array path entirely; with the jax template,
+        orbax re-applies the snapshot's recorded sharding — which references
+        the full TRAINING topology — and inside a @_centralized walk only
+        process 0 is restoring (the other hosts wait at the walk barrier),
+        so the multihost restore deadlocks (found live: 2-process gloo
+        leg 4 hung exactly here). Numpy restore also unpins eval from the
+        training topology: walking a run trained on more chips than the
+        eval host has just works."""
+        return jax.tree.map(
+            lambda x: np.asarray(x) if hasattr(x, "dtype") else x, tree
+        )
+
     def load_epoch(self, epoch: int):
         """Load the epoch-E generator snapshot (params + BN stats + spectral;
         reference inference.py:82-89 loads the full state_dict).
@@ -184,32 +200,28 @@ class Infer:
         come from the latest full train state instead."""
         import warnings
 
-        template = self._template.gen.variables()
+        template = self._host_template(self._template.gen.variables())
         try:
-            self._gen_vars = self.ckpt.restore_generator(template, epoch)
+            host_vars = self.ckpt.restore_generator(template, epoch)
         except FileNotFoundError:
             raise
         except Exception as e:  # legacy params-only snapshot layout
             params = self.ckpt.restore_generator_params_legacy(
-                self._template.gen.params, epoch
+                template["params"], epoch
             )
             warnings.warn(
                 f"netG_epoch_{epoch} is a legacy params-only snapshot "
                 f"({type(e).__name__}); borrowing batch statistics from "
                 "train_state_last — per-epoch eval scores may be distorted."
             )
-            # normalize placement: the two restores can come back on
-            # DIFFERENT device sets (orbax re-applies each checkpoint's
-            # recorded sharding — e.g. mesh-sharded train state vs
-            # single-device legacy snapshot), and one jitted call cannot
-            # mix them. jax.device_get works where np.asarray does not:
-            # it also accepts replicated global arrays, which is what a
-            # multi-host run restores (fully replicated params — arbitrary
-            # cross-host shardings are out of scope).
-            self._gen_vars = {
-                **self._borrowed_gen_vars(),
-                "params": jax.device_get(params),
-            }
+            host_vars = {**self._borrowed_gen_vars(), "params": params}
+        # one explicit transfer to the local default device: the variables
+        # are reused by every sampling dispatch of the walk, and host-numpy
+        # jit inputs would re-upload the full generator per batch (tunnel
+        # dispatch rules, CLAUDE.md). Host restore + one device_put also
+        # normalizes placement across the main/legacy branches — one jitted
+        # call can never see mixed device sets.
+        self._gen_vars = jax.device_put(host_vars)
         return self._gen_vars
 
     def _borrowed_gen_vars(self):
@@ -221,7 +233,9 @@ class Infer:
         TrainState would pin the optimizer/discriminator bulk in device
         memory for the Infer lifetime (round-4 review finding)."""
         if self._borrowed_state is None:
-            state = self.ckpt.restore(self._template)
+            # numpy template: same process-local restore rule as load_epoch
+            # (_host_template) — this runs on process 0 only inside walks
+            state = self.ckpt.restore(self._host_template(self._template))
             host_vars = jax.device_get(state.gen.variables())
             host_vars.pop("params", None)
             self._borrowed_state = host_vars

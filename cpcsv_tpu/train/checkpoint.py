@@ -32,9 +32,56 @@ class CheckpointManager:
         self.model_dir = os.path.abspath(model_dir)
         os.makedirs(self.model_dir, exist_ok=True)
         self._ckptr = ocp.PyTreeCheckpointer()
+        self._local_ckptr = None
+
+    def _local_restorer(self):
+        """Checkpointer whose barriers span ONLY this process. Orbax's
+        Checkpointer.restore runs a sync_global_processes barrier in any
+        multiprocess runtime even for a purely local numpy read
+        (checkpointer.py:310) — inside a @_centralized eval walk only
+        process 0 restores, so that barrier deadlocks against the other
+        hosts waiting at the walk barrier (found live via a SIGUSR1 stack
+        dump of the hung 2-process gloo leg 4). active_processes={self}
+        scopes every such barrier to this process; the per-process sync-key
+        prefix keeps concurrent local restores on different hosts (the
+        --load_ckpt path, where every process restores) from colliding on
+        barrier names."""
+        if self._local_ckptr is None:
+            if jax.process_count() == 1:
+                self._local_ckptr = self._ckptr
+            else:
+                pid = jax.process_index()
+                self._local_ckptr = ocp.Checkpointer(
+                    ocp.PyTreeCheckpointHandler(),
+                    multiprocessing_options=ocp.options.MultiprocessingOptions(
+                        primary_host=pid,
+                        active_processes={pid},
+                        barrier_sync_key_prefix=f"localp{pid}",
+                    ),
+                )
+        return self._local_ckptr
 
     def _path(self, name: str) -> str:
         return os.path.join(self.model_dir, name)
+
+    def _restore_tree(self, path: str, template):
+        """Restore honoring the TEMPLATE's leaf types. Orbax's default
+        restores by SAVED metadata — including the recorded sharding file,
+        which references the training topology and engages a multihost
+        restore path regardless of what the caller passed. A numpy-leaf
+        template (the evaluation drivers) therefore gets explicit
+        RestoreArgs built from the template, making the read strictly
+        process-local full-array numpy (a walk restoring on process 0 only
+        would otherwise deadlock against hosts waiting at the walk barrier
+        — found live in the 2-process gloo leg 4). A template containing
+        jax.Arrays (training resume, every process participating) keeps the
+        default saved-metadata behavior unchanged."""
+        if any(isinstance(l, jax.Array) for l in jax.tree.leaves(template)):
+            return self._ckptr.restore(path, item=template)
+        restore_args = ocp.checkpoint_utils.construct_restore_args(template)
+        return self._local_restorer().restore(
+            path, item=template, restore_args=restore_args
+        )
 
     def save(self, state: TrainState, epoch: int, completed: Optional[int] = None):
         """netG per-epoch snapshot + full train state at 'last'.
@@ -186,7 +233,7 @@ class CheckpointManager:
                         f"{'missing' if not os.path.exists(final) else 'stale'}"
                         f" (crash during save?); restoring from {os.path.basename(path)}"
                     )
-                state = self._ckptr.restore(path, item=template)
+                state = self._restore_tree(path, template)
                 break
             except (FileNotFoundError, ValueError):
                 if attempt == 2:
@@ -266,17 +313,17 @@ class CheckpointManager:
                     f"netG_epoch_{epoch} missing but its .old sibling exists "
                     "(crash during snapshot swap?); restoring from it"
                 )
-                return self._ckptr.restore(old, item=variables_template)
+                return self._restore_tree(old, variables_template)
             raise FileNotFoundError(
                 f"generator snapshot not found: {path} "
                 f"(available epochs: {self.available_generator_epochs()})"
             )
-        return self._ckptr.restore(path, item=variables_template)
+        return self._restore_tree(path, variables_template)
 
     def restore_generator_params_legacy(self, params_template, epoch: int):
         """Read a round-1-format snapshot that stored only params."""
-        return self._ckptr.restore(
-            self._path(f"netG_epoch_{epoch}"), item=params_template
+        return self._restore_tree(
+            self._path(f"netG_epoch_{epoch}"), params_template
         )
 
     def last_epoch(self) -> Optional[int]:

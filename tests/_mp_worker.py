@@ -27,6 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 if __name__ == "__main__":
+    # stack-on-demand for hang triage: `kill -USR1 <pid>` dumps every
+    # thread's Python stack to stderr without killing the worker
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1)
     # worker-process backend setup ONLY: this module is also imported by the
     # pytest process (for make_global_batches), where the 8-device CPU
     # backend is already initialized and these updates would raise
